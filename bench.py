@@ -1,0 +1,125 @@
+"""Benchmark: index build + query suite.
+
+Headline: build the inverted index over a deterministic synthetic
+transcript corpus scaled by sf (sf * 1M turns — BASELINE.json's input
+shape; no external data), then run the reference-style query suite
+against it, plus the training-data ops over the driver tables at
+$SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...throughput extras}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TURNS_PER_SF = 1_000_000
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", type=int, default=int(os.environ.get(
+        "SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--turns", type=int, default=0,
+                    help="override synthetic corpus size (default sf*1M)")
+    ap.add_argument("--segments", type=int, default=1)
+    ap.add_argument("--build-only", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from konlspark import build, contract, corpus
+    from konlspark.query import SearchEngine
+    from konlspark.session import get_spark
+
+    sf_txt = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_txt)
+    except ValueError:
+        sf = 0.0
+    n_turns = args.turns or max(2000, int(TURNS_PER_SF * sf))
+
+    spark = get_spark("konlspark-bench", cores=args.cores,
+                      shuffle_partitions=max(8, args.cores))
+    timings: dict[str, float] = {}
+    t_start = time.time()
+
+    # --- headline: index build over sf*1M synthetic transcript turns -----
+    root = f"/tmp/konlspark_bench_idx_{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    pdf = corpus.make_transcripts(n_turns, turns_per_conv=20, seed=42)
+    tdf = corpus.spark_transcripts(spark, pdf).repartition(
+        max(8, args.cores)).cache()
+    tdf.count()  # materialize input outside the timed window
+    t0 = time.time()
+    build.build_index(spark, tdf, root, n_segments=args.segments)
+    timings["index_build"] = time.time() - t0
+
+    extras = {
+        "n_turns": n_turns,
+        "cores": args.cores,
+        "build_turns_per_sec": round(n_turns / timings["index_build"], 1),
+    }
+
+    if not args.build_only:
+        eng = SearchEngine(spark, root)
+
+        def timed(name, fn):
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+
+        timed("q10_bm25_wand", lambda: eng.bm25_topk(
+            ["마법", "특별"], k=10, use_wand=True).collect())
+        timed("q10_bm25_exact", lambda: eng.bm25_topk(
+            ["마법", "특별"], k=10, use_wand=False).collect())
+        timed("q10_bm25_3term", lambda: eng.bm25_topk(
+            ["spark", "query", "index"], k=10, use_wand=True).collect())
+        timed("q2_or_search", lambda: eng.search(
+            ["같은", "비스크"], "or", log=False).collect())
+        timed("q3_and_search", lambda: eng.search(
+            ["마법", "특별"], "and", log=False).collect())
+        timed("q4_phrase", lambda: eng.search(
+            ["마법", "특별"], "phrase", log=False).collect())
+        timed("q6_suggestions", lambda: eng.search_suggestions("특"))
+
+        # training-data ops over the driver tables at sf_dir
+        qs = contract.queries()
+        for name in ["b3_posting_aggregate", "q7_topk_frequency",
+                     "d1_word_jaccard_pairs", "d4_minhash_lsh_pairs",
+                     "d5_simhash_pairs", "v1_cosine_topk",
+                     "t1_token_counts", "j1_join_nation_revenue"]:
+            timed(name, lambda n=name: qs[n](spark, args.sf_dir).collect())
+
+        q_total = sum(v for k, v in timings.items() if k.startswith("q"))
+        n_q = sum(1 for k in timings if k.startswith("q"))
+        extras["search_queries_per_sec"] = (
+            round(n_q / q_total, 3) if q_total else 0.0)
+
+    total = time.time() - t_start
+    out = {
+        "metric": "index build (sf*1M synthetic transcript turns) + "
+                  "BM25/boolean/dedup/similarity query suite wall time",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        **extras,
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""spark-submit job: build the inverted index from a transcript table.
+
+    spark-submit --py-files konlspark.zip jobs/build_index.py \
+        --input /path/to/transcripts_parquet --output /path/to/index \
+        [--segments 64] [--block-size 128] [--target-per-split 200000] \
+        [--buckets 512] [--no-resume]
+
+Input schema (BASELINE.json input_hint): conv_id string, turn_idx int,
+role string, text string, tool string, ts timestamp. On a cluster, set
+``--segments`` so one segment's postings fit comfortably in the
+executors (resume restarts at segment granularity).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--segments", type=int, default=1)
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--target-per-split", type=int, default=200_000)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from konlspark import build
+
+    spark = SparkSession.builder.appName("konlspark-build").getOrCreate()
+    transcripts = spark.read.parquet(args.input)
+    manifest = build.build_index(
+        spark, transcripts, args.output,
+        block_size=args.block_size,
+        target_per_split=args.target_per_split,
+        n_buckets=args.buckets,
+        n_segments=args.segments,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(manifest, default=str))
+
+
+if __name__ == "__main__":
+    main()

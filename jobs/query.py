@@ -1,0 +1,45 @@
+"""spark-submit job: query a built index.
+
+    spark-submit --py-files konlspark.zip jobs/query.py \
+        --index /path/to/index --tokens 마법 특별 \
+        [--mode or|and|phrase|bm25] [--k 10] [--suggest-prefix 특]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--tokens", nargs="*", default=[])
+    ap.add_argument("--mode", default="bm25",
+                    choices=["or", "and", "phrase", "bm25"])
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--no-wand", action="store_true")
+    ap.add_argument("--suggest-prefix")
+    args = ap.parse_args()
+
+    from konlspark.query import SearchEngine
+
+    spark = SparkSession.builder.appName("konlspark-query").getOrCreate()
+    eng = SearchEngine(spark, args.index)
+    if args.suggest_prefix:
+        print(json.dumps({"suggestions": eng.search_suggestions(
+            args.suggest_prefix)}, ensure_ascii=False))
+        return
+    if args.mode == "bm25":
+        rows = eng.bm25_topk(args.tokens, k=args.k,
+                             use_wand=not args.no_wand).collect()
+        print(json.dumps({"topk": [(r["doc_id"], r["score"]) for r in rows]}))
+    else:
+        rows = eng.search(args.tokens, args.mode).collect()
+        print(json.dumps({"doc_ids": [r["doc_id"] for r in rows]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,490 @@
+"""Distributed index build — the write path (SURVEY §2.3, §3.1).
+
+Rebuilds the reference write pipeline (``index.py:299-327``: hash →
+dedup → id-assign → tokenize → invert) as Spark jobs designed for
+10^12-turn scale:
+
+- **tokenize**: one ``mapInPandas`` pass (Arrow batches, shared
+  tokenizer — no per-row Python UDFs);
+- **dedup (B2)**: window over ``text_hash`` keeping the first
+  occurrence in stable ``(conv_id, turn_idx)`` order; losers become a
+  CONFLICT side-output with the winner's doc id
+  (reference ``index.py:301-305``);
+- **doc-id assignment (B1)**: dense 1-based ids in stable
+  ``(conv_id, turn_idx)`` order, computed scalably as
+  range-repartition → per-partition counts → cumulative offsets →
+  per-partition ``row_number`` — no single-task global window;
+- **posting build (B3)**: explode → *salted* repartition-by-term
+  (explicit skew split for head terms; AQE does not fix groupBy skew) →
+  per-group sort → delta+varint block encoding (``codec``) with
+  per-block max-score metadata for block-max WAND;
+- **resumable segmented build (B8/B7)**: postings built per doc-id-range
+  segment with a fingerprinted checkpoint + metrics (terms/sec,
+  postings/partition, skew ratio) per segment, then merged with
+  ``sortWithinPartitions`` segment merges.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import codec
+from . import tokenizer as tk
+from .catalog import IndexCatalog
+from .oracle import BM25_B, BM25_K1
+
+DEFAULT_BLOCK_SIZE = 128
+# max postings routed to one reducer group for a single term before the
+# term is salt-split (tune so one group's arrays fit executor memory)
+DEFAULT_TARGET_POSTINGS_PER_SPLIT = 200_000
+DEFAULT_N_BUCKETS = 32
+
+_ANALYZED_EXTRA = (
+    "text_hash string, tokens array<string>, tfs array<int>, "
+    "doc_len int, first_pos map<string,int>"
+)
+
+POSTINGS_SCHEMA = (
+    "term string, salt int, block_seq int, n int, "
+    "first_doc_id long, last_doc_id long, doc_ids_delta binary, "
+    "tfs binary, doc_lens binary, block_max_tf int, block_max_w double"
+)
+
+
+# ---------------------------------------------------------------------------
+# Tokenize (P1-P4) — one Arrow pass
+# ---------------------------------------------------------------------------
+
+def analyze_transcripts(df: DataFrame) -> DataFrame:
+    """Add text_hash/tokens/tfs/doc_len/first_pos to a transcript DF."""
+    df = df.withColumn("text_hash", F.sha2(F.col("text"), 256))
+    out_schema = T.StructType.fromDDL(
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+        + ", " + _ANALYZED_EXTRA.replace("text_hash string, ", "")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks, ords_, tfs, lens = tk.analyze_series(pdf["text"])
+            pdf = pdf.copy()
+            pdf["tokens"] = toks
+            pdf["tfs"] = tfs
+            pdf["doc_len"] = lens
+            firsts = []
+            for ordered in ords_:
+                pos = {}
+                for i, t in enumerate(ordered):
+                    if t not in pos:
+                        pos[t] = i
+                firsts.append(pos)
+            pdf["first_pos"] = firsts
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Doc-id assignment (B1) — two-pass, no single-task window
+# ---------------------------------------------------------------------------
+
+def assign_doc_ids(df: DataFrame, order_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
+                   num_partitions: Optional[int] = None,
+                   start_id: int = 1) -> DataFrame:
+    """Dense ids ``start_id..`` in global ``order_cols`` order.
+
+    Range-repartition by the order key, count rows per partition (tiny
+    collect), broadcast cumulative offsets back, then rank *within* each
+    partition — every stage is parallel; the only driver-side data is
+    one count per partition. The input is persisted so both passes see
+    the same partitioning (repartitionByRange samples its boundaries).
+    """
+    spark = df.sparkSession
+    parts = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    ranged = (
+        df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["_pid"]: r["cnt"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, start_id - 1
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_off = spark.sparkContext.broadcast(offsets)
+    out_schema = T.StructType(
+        [f for f in ranged.schema if f.name != "_pid"]
+        + [T.StructField("doc_id", T.LongType(), False)])
+    cols = [f.name for f in out_schema]
+
+    def rank_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive in sorted order within the partition; ids are the
+        # partition's cumulative offset + local position (no shuffle, no
+        # window — this runs as a pure map stage over the persisted data)
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = b_off.value[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = np.arange(pos + 1, pos + 1 + len(pdf),
+                                      dtype=np.int64)
+            pos += len(pdf)
+            yield pdf[cols]
+
+    out = ranged.mapInPandas(rank_partition, out_schema)
+    # hand the persisted intermediate to the caller so it can unpersist
+    # once downstream results are materialized (avoids cache leak)
+    out._konl_persisted = ranged  # type: ignore[attr-defined]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dedup (B2) + docs table
+# ---------------------------------------------------------------------------
+
+def build_docs(transcripts: DataFrame,
+               num_partitions: Optional[int] = None) -> Tuple[DataFrame, DataFrame]:
+    """Analyze + dedup + assign ids.
+
+    Returns ``(docs, conflicts)``: ``docs`` carries dense 1-based
+    ``doc_id`` over first-occurrence survivors; ``conflicts`` mirrors the
+    reference's CONFLICT result (``index.py:301-305``) with the winning
+    doc id per duplicate turn.
+    """
+    analyzed = analyze_transcripts(transcripts)
+    w = Window.partitionBy("text_hash").orderBy("conv_id", "turn_idx")
+    # persist the tokenized+ranked rows: both the survivors branch and
+    # the conflicts branch read it, and tokenization is the expensive
+    # stage — without this the losers join re-runs the tokenizer
+    ranked = (analyzed.withColumn("_rk", F.row_number().over(w))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    survivors = ranked.filter(F.col("_rk") == 1).drop("_rk")
+    losers = ranked.filter(F.col("_rk") > 1).drop("_rk")
+    docs = assign_doc_ids(survivors, num_partitions=num_partitions)
+    docs._konl_persisted2 = ranked  # type: ignore[attr-defined]
+    conflicts = (
+        losers.select("conv_id", "turn_idx", "text_hash")
+        .join(docs.select("text_hash", F.col("doc_id").alias("conflict_doc_id")),
+              "text_hash")
+        .select("conv_id", "turn_idx", "conflict_doc_id")
+    )
+    return docs, conflicts
+
+
+# ---------------------------------------------------------------------------
+# Posting build (B3) — salted skew-split + block encoding
+# ---------------------------------------------------------------------------
+
+def _bm25_w(tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float) -> np.ndarray:
+    """idf-less BM25 term weight (idf applied at query time from df)."""
+    tfs = tfs.astype(np.float64)
+    return (tfs * (BM25_K1 + 1.0)) / (
+        tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * doc_lens.astype(np.float64) / avgdl)
+    )
+
+
+def explode_postings(docs: DataFrame) -> DataFrame:
+    """docs → (term, doc_id, tf, doc_len) rows."""
+    return (
+        docs.select(
+            "doc_id", "doc_len",
+            F.explode(F.arrays_zip("tokens", "tfs")).alias("p"),
+        )
+        .select(
+            F.col("p.tokens").alias("term"),
+            "doc_id",
+            F.col("p.tfs").alias("tf"),
+            "doc_len",
+        )
+    )
+
+
+def build_postings(docs: DataFrame, avgdl: float,
+                   block_size: int = DEFAULT_BLOCK_SIZE,
+                   target_per_split: int = DEFAULT_TARGET_POSTINGS_PER_SPLIT,
+                   n_buckets: int = DEFAULT_N_BUCKETS,
+                   exploded: Optional[DataFrame] = None,
+                   term_df: Optional[DataFrame] = None) -> DataFrame:
+    """Blocked, compressed postings from a docs DF.
+
+    Skew handling: term df is Zipfian; a plain ``groupBy(term)`` routes a
+    head term's entire posting list to one reducer. We pre-compute df,
+    broadcast-join the (tiny) head-term split counts, and salt with
+    ``pmod(xxhash64(doc_id), n_splits)`` so no group exceeds
+    ``target_per_split`` postings. Blocks from different salts of one
+    term may overlap in doc-id range — readers never assume disjoint
+    ranges (each doc appears in exactly one block per term).
+    """
+    if exploded is None:
+        exploded = explode_postings(docs)
+    if term_df is None:
+        # df per term: map-side partial agg keeps this cheap even on skew
+        term_df = exploded.groupBy("term").agg(F.count("*").alias("df"))
+    head = (
+        term_df.filter(F.col("df") > target_per_split)
+        .withColumn("n_splits",
+                    F.ceil(F.col("df") / F.lit(target_per_split)).cast("int"))
+        .select("term", "n_splits")
+    )
+    salted = (
+        exploded.join(F.broadcast(head), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("n_splits").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("doc_id"), F.col("n_splits")).cast("int")
+            ),
+        )
+        .drop("n_splits")
+    )
+
+    def encode_group(key, pdf):
+        term, salt = key
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        lens = pdf["doc_len"].to_numpy(dtype=np.int64)
+        rows = []
+        for seq, lo in enumerate(range(0, len(ids), block_size)):
+            hi = min(lo + block_size, len(ids))
+            b_ids, b_tfs, b_lens = ids[lo:hi], tfs[lo:hi], lens[lo:hi]
+            d, t, ln = codec.encode_block(b_ids, b_tfs, b_lens)
+            w = _bm25_w(b_tfs, b_lens, avgdl)
+            rows.append((term, int(salt), seq, int(hi - lo),
+                         int(b_ids[0]), int(b_ids[-1]), d, t, ln,
+                         int(b_tfs.max()), float(w.max())))
+        return pd.DataFrame(rows, columns=[
+            "term", "salt", "block_seq", "n", "first_doc_id", "last_doc_id",
+            "doc_ids_delta", "tfs", "doc_lens", "block_max_tf", "block_max_w",
+        ])
+
+    postings = (
+        salted.groupBy("term", "salt")
+        .applyInPandas(encode_group, POSTINGS_SCHEMA)
+        .withColumn("term_bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        # co-locate each bucket before the partitionBy write: blocks are
+        # compressed (cheap to move) and this turns n_tasks*n_buckets
+        # small files into ~1 file per bucket
+        .repartition(F.col("term_bucket"))
+    )
+    return postings
+
+
+def build_token_dict(docs: Optional[DataFrame] = None,
+                     term_df: Optional[DataFrame] = None) -> DataFrame:
+    """term → (decomposed, df, term_bucket) — replaces the reference trie
+    (``trie.py:139-154``): prefix search becomes a range predicate on the
+    sorted ``decomposed`` column (SURVEY §2.4 Q6)."""
+
+    @F.pandas_udf(T.StringType())
+    def decompose_udf(s: pd.Series) -> pd.Series:
+        return s.map(tk.decompose)
+
+    if term_df is None:
+        term_df = (docs.select(F.explode("tokens").alias("term"))
+                   .groupBy("term").agg(F.count("*").alias("df")))
+    return term_df.withColumn("decomposed", decompose_udf("term"))
+
+
+# ---------------------------------------------------------------------------
+# Full build (one-shot and segmented+resumable)
+# ---------------------------------------------------------------------------
+
+def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
+                block_size: int = DEFAULT_BLOCK_SIZE,
+                target_per_split: int = DEFAULT_TARGET_POSTINGS_PER_SPLIT,
+                n_buckets: int = DEFAULT_N_BUCKETS,
+                n_segments: int = 1,
+                resume: bool = True) -> dict:
+    """Build a queryable index at ``root``; returns the manifest.
+
+    ``n_segments > 1`` builds postings per doc-id-range segment with a
+    fingerprinted checkpoint each (resume skips committed segments),
+    then merges segments into the final postings table.
+    """
+    cat = IndexCatalog(root)
+    t0 = time.time()
+    phases: dict = {}
+
+    def mark(name: str, since: float) -> float:
+        now = time.time()
+        phases[name] = round(now - since, 2)
+        return now
+
+    docs, conflicts = build_docs(transcripts)
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.max("doc_id").alias("max_doc_id"),
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
+    max_doc_id = int(stats["max_doc_id"] or 0)
+    t = mark("tokenize_dedup_ids", t0)
+
+    # docs come out of assign_doc_ids already globally ordered by doc_id
+    # across range partitions (disjoint per-file min/max → point/range
+    # gets prune to single files); write as-is, no extra shuffle
+    docs.write.mode("overwrite").parquet(cat.table_path("docs"))
+    conflicts.write.mode("overwrite").parquet(cat.table_path("conflicts"))
+    t = mark("write_docs", t)
+
+    # explode once; term_df feeds token_dict AND the salting decision
+    exploded = explode_postings(docs)
+    term_df = (exploded.groupBy("term").agg(F.count("*").alias("df"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    token_dict = build_token_dict(term_df=term_df).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    (token_dict.repartitionByRange(max(1, n_buckets // 4), "decomposed")
+               .sortWithinPartitions("decomposed")
+               .write.mode("overwrite").parquet(cat.table_path("token_dict")))
+    t = mark("write_token_dict", t)
+
+    build_metrics: List[dict] = []
+    if n_segments <= 1:
+        postings = build_postings(docs, avgdl, block_size,
+                                  target_per_split, n_buckets,
+                                  exploded=exploded, term_df=term_df)
+        (postings.write.mode("overwrite").partitionBy("term_bucket")
+                 .parquet(cat.table_path("postings")))
+    else:
+        seg_dirs = _build_segments(
+            spark, cat, docs, avgdl, n_docs, max_doc_id, n_segments,
+            block_size, target_per_split, n_buckets, resume, build_metrics,
+            term_df=term_df)
+        merge_segments(spark, seg_dirs, cat.table_path("postings"),
+                       avgdl, block_size, n_buckets)
+    t = mark("write_postings", t)
+    term_df.unpersist()
+
+    docs.unpersist()
+    for attr in ("_konl_persisted", "_konl_persisted2"):
+        persisted = getattr(docs, attr, None)
+        if persisted is not None:
+            persisted.unpersist()
+    manifest = {
+        "format_version": 1,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "max_doc_id": max_doc_id,
+        "n_buckets": n_buckets,
+        "block_size": block_size,
+        "bm25": {"k1": BM25_K1, "b": BM25_B},
+        "build_seconds": time.time() - t0,
+        "build_phases": phases,
+        "n_segments": n_segments,
+        "segment_metrics": build_metrics,
+    }
+    cat.commit_manifest(manifest)
+    return manifest
+
+
+def _segment_fingerprint(n_docs: int, max_doc_id: int, seg: int,
+                         n_segments: int, block_size: int) -> str:
+    return f"v1:{n_docs}:{max_doc_id}:{seg}/{n_segments}:bs{block_size}"
+
+
+def _build_segments(spark, cat: IndexCatalog, docs: DataFrame, avgdl: float,
+                    n_docs: int, max_doc_id: int, n_segments: int,
+                    block_size: int, target_per_split: int, n_buckets: int,
+                    resume: bool, metrics_out: List[dict],
+                    term_df: Optional[DataFrame] = None) -> List[str]:
+    """Per-segment posting build with checkpoint + lineage + metrics."""
+    seg_dirs = []
+    bound = max_doc_id + 1
+    for seg in range(n_segments):
+        seg_id = f"segment={seg:05d}"
+        seg_dir = cat.table_path(f"_segments/{seg_id}")
+        seg_dirs.append(seg_dir)
+        fp = _segment_fingerprint(n_docs, max_doc_id, seg, n_segments, block_size)
+        if resume and cat.segment_committed(seg_id, fp):
+            continue
+        t0 = time.time()
+        lo = 1 + seg * bound // n_segments
+        hi = 1 + (seg + 1) * bound // n_segments
+        seg_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        # global term_df over-estimates per-segment df → at worst a few
+        # extra salt splits for head terms; saves a per-segment agg pass
+        postings = build_postings(seg_docs, avgdl, block_size,
+                                  target_per_split, n_buckets,
+                                  term_df=term_df)
+        postings.write.mode("overwrite").parquet(seg_dir)
+        agg = spark.read.parquet(seg_dir).groupBy(
+            F.spark_partition_id().alias("_p")).agg(
+            F.sum("n").alias("postings"), F.countDistinct("term").alias("terms"))
+        rows = agg.collect()
+        postings_per_part = [int(r["postings"]) for r in rows] or [0]
+        n_postings = sum(postings_per_part)
+        n_terms = sum(int(r["terms"]) for r in rows)
+        elapsed = time.time() - t0
+        mean_p = max(1.0, n_postings / max(1, len(postings_per_part)))
+        entry = {
+            "fingerprint": fp,
+            "lineage": {"doc_id_range": [lo, hi], "input_docs_table": "docs"},
+            "metrics": {
+                "elapsed_sec": elapsed,
+                "postings": n_postings,
+                "terms": n_terms,
+                "terms_per_sec": n_terms / elapsed if elapsed > 0 else 0.0,
+                "postings_per_partition": postings_per_part,
+                "skew_ratio": max(postings_per_part) / mean_p,
+            },
+        }
+        cat.commit_segment(seg_id, entry)
+        metrics_out.append({seg_id: entry})
+    return seg_dirs
+
+
+def merge_segments(spark: SparkSession, seg_dirs: List[str], out_path: str,
+                   avgdl: float, block_size: int, n_buckets: int) -> None:
+    """B7: union segment posting blocks → repartition by (term, salt) →
+    sortWithinPartitions → decode-concat-re-encode into final blocks.
+
+    Segments hold disjoint doc-id ranges, so concatenating their decoded
+    arrays in ``first_doc_id`` order is already globally sorted per term.
+    """
+    union = spark.read.parquet(*seg_dirs)
+
+    def merge_group(key, pdf):
+        term, salt = key
+        pdf = pdf.sort_values("first_doc_id")
+        ids = np.concatenate([codec.decode_doc_ids(b) for b in pdf["doc_ids_delta"]])
+        tfs = np.concatenate([codec.decode_varint(b).astype(np.int64)
+                              for b in pdf["tfs"]])
+        lens = np.concatenate([codec.decode_varint(b).astype(np.int64)
+                               for b in pdf["doc_lens"]])
+        order = np.argsort(ids, kind="stable")
+        ids, tfs, lens = ids[order], tfs[order], lens[order]
+        rows = []
+        for seq, lo in enumerate(range(0, len(ids), block_size)):
+            hi = min(lo + block_size, len(ids))
+            d, t, ln = codec.encode_block(ids[lo:hi], tfs[lo:hi], lens[lo:hi])
+            w = _bm25_w(tfs[lo:hi], lens[lo:hi], avgdl)
+            rows.append((term, int(salt), seq, int(hi - lo),
+                         int(ids[lo]), int(ids[hi - 1]), d, t, ln,
+                         int(tfs[lo:hi].max()), float(w.max())))
+        return pd.DataFrame(rows, columns=[
+            "term", "salt", "block_seq", "n", "first_doc_id", "last_doc_id",
+            "doc_ids_delta", "tfs", "doc_lens", "block_max_tf", "block_max_w",
+        ])
+
+    merged = (
+        union.repartition("term", "salt")
+        .groupBy("term", "salt")
+        .applyInPandas(merge_group, POSTINGS_SCHEMA)
+        .withColumn("term_bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+    merged.write.mode("overwrite").partitionBy("term_bucket").parquet(out_path)

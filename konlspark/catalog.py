@@ -1,0 +1,85 @@
+"""Iceberg-layout table/manifest layer for the index warehouse.
+
+The reference gets atomic multi-structure commits from RocksDB
+WriteBatch (``/root/reference/konlsearch/index.py:130-267``); we get the
+same guarantee from snapshot-style metadata commits: every table is a
+directory of immutable Parquet files, and a JSON manifest written *last*
+via tmp-file + atomic rename is the commit point. A crashed build leaves
+staging data but no manifest entry → the resume path re-runs it
+(idempotent). Swapping this for a real Iceberg catalog is a config
+change (the sandbox has no Iceberg runtime jars — SURVEY §7.1).
+
+Layout of an index root:
+
+    root/
+      _meta/manifest.json       # snapshot pointer + corpus stats
+      _meta/segments.json       # per-segment build checkpoints + metrics
+      docs/                     # parquet, range-partitioned by doc_id
+      postings/                 # parquet, dir-partitioned by term_bucket
+      token_dict/               # parquet, sorted by decomposed
+      query_log/                # append-only parquet
+      token_freq/               # parquet (search-frequency aggregate)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from typing import Any, Dict, Optional
+
+
+class IndexCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "_meta")
+
+    # table paths ----------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.meta_dir, "manifest.json")
+
+    @property
+    def segments_path(self) -> str:
+        return os.path.join(self.meta_dir, "segments.json")
+
+    # atomic JSON commits ----------------------------------------------------
+    def _write_json_atomic(self, path: str, payload: Dict[str, Any]) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, indent=2, ensure_ascii=False)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    def commit_manifest(self, manifest: Dict[str, Any]) -> None:
+        manifest = dict(manifest)
+        manifest["committed_at"] = time.time()
+        self._write_json_atomic(self.manifest_path, manifest)
+
+    def read_manifest(self) -> Optional[Dict[str, Any]]:
+        if not os.path.exists(self.manifest_path):
+            return None
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    # per-segment checkpoints (north rule: resumable with lineage+metrics) --
+    def read_segments(self) -> Dict[str, Any]:
+        if not os.path.exists(self.segments_path):
+            return {"segments": {}}
+        with open(self.segments_path) as f:
+            return json.load(f)
+
+    def commit_segment(self, segment_id: str, entry: Dict[str, Any]) -> None:
+        state = self.read_segments()
+        entry = dict(entry)
+        entry["committed_at"] = time.time()
+        state["segments"][segment_id] = entry
+        self._write_json_atomic(self.segments_path, state)
+
+    def segment_committed(self, segment_id: str, fingerprint: str) -> bool:
+        entry = self.read_segments()["segments"].get(segment_id)
+        return bool(entry) and entry.get("fingerprint") == fingerprint

@@ -1,0 +1,381 @@
+"""Query engine — the read path (SURVEY §2.4, §3.2).
+
+Rank-identical to the single-node oracle (and thus to the reference's
+golden outputs) while executing as pruned, mostly map-side DataFrame
+plans:
+
+- query terms → ``token_dict`` lookup (pushed-down filter) gives df +
+  term_bucket per term: a tiny driver-side dict;
+- ``postings`` scan filters ``term_bucket IN (...) AND term IN (...)``
+  → directory-level partition pruning + row-group stats pruning; only
+  buckets holding query terms are touched;
+- block decode is one Arrow ``mapInPandas`` (numpy varint decode);
+- AND/OR fold = groupBy(doc_id) count vs distinct (reference
+  ``inverted_index.py:98-116``), PHRASE = AND + first-occurrence
+  monotonicity over ``docs.first_pos`` (reference ``index.py:432-448``),
+  complex = recursive set algebra (``index.py:413-429``);
+- BM25 top-k with lossless block-max pruning (MaxScore/BMW-style):
+  a first pass over the rarest term's postings sets a lower-bound
+  threshold τ; a block of term t survives iff
+  ``block_max_score(B) + Σ_{t'≠t} σ_{t'} ≥ τ`` — every doc with true
+  score ≥ τ has *all* its blocks decoded, so the final top-k and its
+  scores are exact (verified against the unpruned path in tests).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codec
+from . import tokenizer as tk
+from .catalog import IndexCatalog
+from .oracle import BM25_B, BM25_K1, bm25_idf
+
+
+@dataclass
+class SearchRequest:
+    tokens: List[str]
+    mode: str  # "and" | "or" | "phrase"
+
+
+@dataclass
+class ComplexRequest:
+    condition1: Union["ComplexRequest", SearchRequest]
+    condition2: Union["ComplexRequest", SearchRequest]
+    mode: str  # "and" | "or"
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.cat = IndexCatalog(root)
+        self.refresh()
+
+    def refresh(self) -> None:
+        """(Re)load the committed snapshot. Call after an in-place
+        rebuild of the same root — DataFrames created before a rebuild
+        reference replaced files (Spark caches the file listing) and
+        will fail with a stale-file-index error."""
+        self.manifest = self.cat.read_manifest()
+        if self.manifest is None:
+            raise FileNotFoundError(f"no committed index at {self.cat.root}")
+        self.n_docs = self.manifest["n_docs"]
+        self.avgdl = self.manifest["avgdl"]
+        for t in ("postings", "docs", "token_dict"):
+            self.spark.catalog.refreshByPath(self.cat.table_path(t))
+        self.postings = self.spark.read.parquet(self.cat.table_path("postings"))
+        self.docs = self.spark.read.parquet(self.cat.table_path("docs"))
+        self.token_dict = self.spark.read.parquet(
+            self.cat.table_path("token_dict"))
+
+    # -- term metadata lookup (tiny) ----------------------------------------
+    def _term_meta(self, terms: Sequence[str]) -> Dict[str, dict]:
+        uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            return {}
+        rows = (
+            self.token_dict.filter(F.col("term").isin(uniq))
+            .select("term", "df", "term_bucket").collect()
+        )
+        return {r["term"]: {"df": r["df"], "bucket": r["term_bucket"]} for r in rows}
+
+    # -- pruned postings scan + block decode ---------------------------------
+    def _blocks_for(self, meta: Dict[str, dict]) -> DataFrame:
+        terms = list(meta)
+        buckets = sorted({m["bucket"] for m in meta.values()})
+        return self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def _decode(self, blocks: DataFrame, idf: Optional[Dict[str, float]] = None
+                ) -> DataFrame:
+        """blocks → (term, doc_id, tf, score) rows; score = idf * w."""
+        avgdl = self.avgdl
+        idf = idf or {}
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                terms, ids_l, tfs_l, scores_l = [], [], [], []
+                for row in pdf.itertuples(index=False):
+                    ids, tfs, lens = codec.decode_block(
+                        row.doc_ids_delta, row.tfs, row.doc_lens)
+                    w = (tfs * (BM25_K1 + 1.0)) / (
+                        tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * lens / avgdl))
+                    terms.append(np.full(len(ids), row.term, dtype=object))
+                    ids_l.append(ids)
+                    tfs_l.append(tfs)
+                    scores_l.append(w * idf.get(row.term, 0.0))
+                if not ids_l:
+                    yield pd.DataFrame({"term": [], "doc_id": [], "tf": [],
+                                        "score": []}).astype(
+                        {"doc_id": "int64", "tf": "int64", "score": "float64"})
+                    continue
+                yield pd.DataFrame({
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(ids_l),
+                    "tf": np.concatenate(tfs_l),
+                    "score": np.concatenate(scores_l),
+                })
+
+        cols = ["term", "doc_ids_delta", "tfs", "doc_lens"]
+        return blocks.select(*cols).mapInPandas(
+            fn, "term string, doc_id long, tf long, score double")
+
+    def _postings_df(self, terms: Sequence[str],
+                     with_scores: bool = False) -> DataFrame:
+        meta = self._term_meta(terms)
+        idf = ({t: bm25_idf(self.n_docs, m["df"]) for t, m in meta.items()}
+               if with_scores else None)
+        return self._decode(self._blocks_for(meta), idf)
+
+    # -- boolean search (reference-identical doc-id lists) --------------------
+    def search(self, tokens: Sequence[str], mode: str,
+               log: bool = True) -> DataFrame:
+        """Returns DataFrame(doc_id) ascending — inverted_index.py:98-116."""
+        mode = mode.lower()
+        if mode == "phrase":
+            return self._search_phrase(tokens, log=log)
+        uniq = list(dict.fromkeys(tokens))
+        meta = self._term_meta(uniq)
+        if log:
+            self._log_hits(uniq, meta)
+        empty = self.spark.createDataFrame([], "doc_id long")
+        if not uniq:
+            return empty
+        if mode == "and" and len(meta) < len(uniq):
+            return empty  # some term has no postings → intersection empty
+        if not meta:
+            return empty
+        decoded = self._decode(self._blocks_for(meta))
+        if mode == "or":
+            return decoded.select("doc_id").distinct().orderBy("doc_id")
+        return (
+            decoded.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("_nt"))
+            .filter(F.col("_nt") == len(meta))
+            .select("doc_id").orderBy("doc_id")
+        )
+
+    def _search_phrase(self, tokens: Sequence[str], log: bool = True) -> DataFrame:
+        """AND + ordered-first-occurrence check (index.py:432-448).
+
+        Candidates join ``docs.first_pos``; a candidate missing any query
+        morph is no-match (pinned Q4 semantics). No UDF — the positions
+        comparison is a codegen'd array expression.
+        """
+        candidates = self.search(tokens, "and", log=log)
+        query_ordered = tk.tokenize_with_order(" ".join(tokens))
+        if not query_ordered:
+            return self.spark.createDataFrame([], "doc_id long")
+        pos_cols = [
+            F.element_at(F.col("first_pos"), F.lit(t)).alias(f"_p{i}")
+            for i, t in enumerate(query_ordered)
+        ]
+        joined = self.docs.join(candidates, "doc_id", "left_semi") \
+                          .select("doc_id", *pos_cols)
+        cond = F.lit(True)
+        for i in range(len(query_ordered)):
+            cond = cond & F.col(f"_p{i}").isNotNull()
+        for i in range(len(query_ordered) - 1):
+            cond = cond & (F.col(f"_p{i}") <= F.col(f"_p{i+1}"))
+        return joined.filter(cond).select("doc_id").orderBy("doc_id")
+
+    def search_complex(self, req: Union[ComplexRequest, SearchRequest]) -> DataFrame:
+        """Recursive AND/OR set algebra over sub-searches (index.py:413-429)."""
+        if isinstance(req, SearchRequest):
+            return self.search(req.tokens, req.mode)
+        r1 = self.search_complex(req.condition1)
+        r2 = self.search_complex(req.condition2)
+        if req.mode == "and":
+            return r1.intersect(r2).orderBy("doc_id")
+        return r1.union(r2).distinct().orderBy("doc_id")
+
+    # -- BM25 top-k ----------------------------------------------------------
+    def bm25_topk(self, tokens: Sequence[str], k: int = 10, mode: str = "or",
+                  use_wand: bool = True) -> DataFrame:
+        """DataFrame(doc_id, score) — exact top-k, ties by ascending id."""
+        uniq = list(dict.fromkeys(tokens))
+        meta = self._term_meta(uniq)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not meta or k <= 0:
+            return empty
+        if mode == "and" and len(meta) < len(uniq):
+            return empty
+        idf = {t: bm25_idf(self.n_docs, m["df"]) for t, m in meta.items()}
+        blocks = self._blocks_for(meta)
+
+        if use_wand and mode == "or" and len(meta) > 1:
+            blocks = self._wand_prune(blocks, meta, idf, k)
+
+        scored = (
+            self._decode(blocks, idf)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"),
+                 F.countDistinct("term").alias("_nt"))
+        )
+        if mode == "and":
+            scored = scored.filter(F.col("_nt") == len(meta))
+        return (
+            scored.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _wand_prune(self, blocks: DataFrame, meta: Dict[str, dict],
+                    idf: Dict[str, float], k: int) -> DataFrame:
+        """Lossless block-max pruning.
+
+        σ_t = max block score of term t (one tiny metadata agg — no
+        decode). τ = k-th best single-term score from the rarest term's
+        postings (decoded; cheapest term by df). Keep block B of term t
+        iff ub(B) + Σ_{t'≠t} σ_{t'} ≥ τ: every doc with true score ≥ τ
+        survives in *all* its blocks (score exact); pruned docs have
+        true score < τ and cannot displace the top-k.
+        """
+        # per-term max block score (metadata only)
+        sigma_rows = (
+            blocks.groupBy("term").agg(F.max("block_max_w").alias("mw")).collect()
+        )
+        sigma = {r["term"]: idf[r["term"]] * r["mw"] for r in sigma_rows}
+        if not sigma:
+            return blocks
+        sum_sigma = sum(sigma.values())
+        rarest = min(meta, key=lambda t: meta[t]["df"])
+        tau_rows = (
+            self._decode(blocks.filter(F.col("term") == rarest),
+                         {rarest: idf[rarest]})
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .select("score").collect()
+        )
+        if len(tau_rows) < k:
+            return blocks  # not enough candidates to bound → no pruning
+        tau = tau_rows[-1]["score"]
+        # map term → σ_others = sum_sigma - σ_t  (tiny broadcastable map)
+        others = [(t, sum_sigma - s) for t, s in sigma.items()]
+        others_df = self.spark.createDataFrame(others, "term string, sig_others double")
+        idf_df = self.spark.createDataFrame(list(idf.items()),
+                                            "term string, idf double")
+        return (
+            blocks.join(F.broadcast(others_df), "term")
+            .join(F.broadcast(idf_df), "term")
+            .filter(F.col("idf") * F.col("block_max_w") + F.col("sig_others")
+                    >= F.lit(tau))
+            .drop("sig_others", "idf")
+        )
+
+    # -- suggestions / frequency (trie surface, SURVEY §2.4 Q6/Q7) -----------
+    def search_suggestions(self, prefix: str) -> List[str]:
+        dp = tk.decompose(prefix)
+        rows = (
+            self.token_dict
+            .filter(F.col("decomposed").startswith(dp))
+            .select("term").orderBy("term").collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_by_frequency(self, prefix: str, k: int = 5) -> List[tuple]:
+        """Top-k searched tokens under a prefix (trie.py:200-216 +
+        counter.py ordering: count desc, token asc)."""
+        dp = tk.decompose(prefix)
+        freq = self._read_token_freq()
+        if freq is None:
+            return []
+        rows = (
+            freq.join(self.token_dict.select("term", "decomposed"), "term")
+            .filter(F.col("decomposed").startswith(dp))
+            .orderBy(F.desc("freq"), F.asc("term")).limit(k)
+            .select("term", "freq").collect()
+        )
+        return [(r["term"], r["freq"]) for r in rows]
+
+    # -- query log (S10/Q8) + incremental aggregation (Q9) --------------------
+    def _log_hits(self, tokens: Sequence[str], meta: Dict[str, dict]) -> None:
+        """Append (token, 1) per query token with ≥1 hit
+        (inverted_index.py:107-109)."""
+        hits = [t for t in tokens if t in meta]
+        if not hits:
+            return
+        last = self._meta_kv().get("log_last_seq", 0)
+        pdf = pd.DataFrame({
+            "seq_id": np.arange(last + 1, last + 1 + len(hits), dtype=np.int64),
+            "ts": pd.Timestamp.now(tz="UTC"),
+            "token": hits,
+            "size": np.int32(1),
+        })
+        df = self.spark.createDataFrame(
+            pdf, "seq_id long, ts timestamp, token string, size int")
+        df.write.mode("append").parquet(self.cat.table_path("query_log"))
+        self._set_meta_kv("log_last_seq", last + len(hits))
+
+    def aggregate_frequency(self) -> None:
+        """Incremental: log rows past the stored offset are summed into
+        token_freq; offset and aggregate commit together
+        (inverted_index.py:121-128 made idempotent)."""
+        kv = self._meta_kv()
+        offset = kv.get("freq_offset", 0)
+        last = kv.get("log_last_seq", 0)
+        if last <= offset:
+            return
+        log_path = self.cat.table_path("query_log")
+        new = (
+            self.spark.read.parquet(log_path)
+            .filter(F.col("seq_id") > offset)
+            .join(self.token_dict.select("term"),
+                  F.col("token") == F.col("term"), "left_semi")
+            .groupBy("token").agg(F.sum("size").alias("freq"))
+            .select(F.col("token").alias("term"), "freq")
+        )
+        old = self._read_token_freq()
+        merged = new if old is None else (
+            old.unionByName(new).groupBy("term").agg(F.sum("freq").alias("freq")))
+        out = self.cat.table_path("token_freq")
+        tmp = out + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(out)
+        self._set_meta_kv("freq_offset", last)
+
+    def _read_token_freq(self) -> Optional[DataFrame]:
+        import os
+        path = self.cat.table_path("token_freq")
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def _meta_kv(self) -> dict:
+        m = self.cat.read_manifest() or {}
+        return m.get("kv", {})
+
+    def _set_meta_kv(self, key: str, value) -> None:
+        m = self.cat.read_manifest() or {}
+        m.setdefault("kv", {})[key] = value
+        self.cat.commit_manifest(m)
+
+    # -- point / range / multi gets (S5-S8) ----------------------------------
+    def get(self, doc_id: int) -> DataFrame:
+        return self.docs.filter(F.col("doc_id") == doc_id).select("doc_id", "text")
+
+    def get_range(self, start_id: int, end_id: int) -> DataFrame:
+        return (
+            self.docs.filter((F.col("doc_id") >= start_id) &
+                             (F.col("doc_id") < end_id))
+            .select("doc_id", "text").orderBy("doc_id")
+        )
+
+    def get_multi(self, doc_ids: Sequence[int]) -> DataFrame:
+        return (
+            self.docs.filter(F.col("doc_id").isin(list(doc_ids)))
+            .select("doc_id", "text").orderBy("doc_id")
+        )
+
+    def get_tokens(self, doc_id: int) -> List[str]:
+        rows = self.docs.filter(F.col("doc_id") == doc_id).select("tokens").collect()
+        return list(rows[0]["tokens"]) if rows else []

@@ -1,0 +1,169 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+textstats / multimodal plumbing) against pure-pandas oracles."""
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from konlspark.ops import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "completely different words appear in this one"),
+    (4, "the quick brown fox leaps over the lazy dog"),
+    (5, "lorem ipsum dolor sit amet consectetur adipiscing"),
+    (6, "the quick brown fox jumps over a sleepy dog"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text, n=3):
+    toks = text.lower().split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(docs_df):
+    out = dedup.exact_dedup(docs_df).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids == [0, 1, 3, 4, 5, 6]  # 2 deduped into 0
+    assert [r["dup_count"] for r in out if r["doc_id"] == 0] == [2]
+
+
+def test_ngram_jaccard_matches_python_oracle(docs_df):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.shingle_pairs_jaccard(docs_df, threshold=0.2).collect()}
+    want = {}
+    for (a, ta), (b, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _py_shingles(ta), _py_shingles(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.2:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (0, 2) in got and got[(0, 2)] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.minhash_lsh_pairs(docs_df, n_hashes=16, bands=8).collect()}
+    assert (0, 2) in pairs  # exact dup always collides
+    # verified variant: jaccard attached and thresholded
+    ver = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.minhash_lsh_pairs(docs_df, n_hashes=16, bands=8,
+                                   verify_threshold=0.5).collect()}
+    assert ver[(0, 2)] == 1.0
+    assert all(j >= 0.5 for j in ver.values())
+
+
+def test_minhash_signature_is_md5_based(docs_df, spark):
+    """Signature must equal the portable md5-based definition (the same
+    expression DuckDB evaluates in the driver oracle)."""
+    sig = dedup.minhash_signatures(docs_df, n_hashes=2).orderBy("id").collect()
+    for row in sig:
+        text = dict(DOCS)[row["id"]]
+        for hi in (0, 1):
+            want = min(int(hashlib.md5(f"s{hi}:{s}".encode()).hexdigest()[:15], 16)
+                       for s in _py_shingles(text))
+            assert row[f"mh{hi}"] == want
+
+
+def test_simhash_near_pairs(docs_df):
+    sig = {r["id"]: r["simhash"] for r in
+           dedup.simhash_signatures(docs_df).collect()}
+    assert sig[0] == sig[2]  # identical text → identical simhash
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(docs_df, max_hamming=16).collect()}
+    assert pairs[(0, 2)] == 0
+    # hamming verified exactly
+    for (a, b), h in pairs.items():
+        assert bin(sig[a] ^ sig[b]).count("1") == h
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[7]]
+    got = [(r["id"], r["cos"]) for r in similarity.cosine_topk(df, q, k=5).collect()]
+    sims = vecs @ np.array(q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = sorted(range(50), key=lambda i: (-round(sims[i], 6), i))[:5]
+    assert [i for i, _ in got] == order
+    assert got[0][0] == 7 and abs(got[0][1] - 1.0) < 1e-5
+    for (i, c) in got:
+        assert abs(c - round(float(sims[i]), 6)) < 2e-6
+
+
+def test_ann_and_ivf_paths(spark):
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 8)).astype(np.float32)
+    # make 3 exact-duplicate pairs
+    base[10] = base[0]
+    base[21] = base[2]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in
+             similarity.ann_lsh_pairs(df, dim=8, threshold=0.99).collect()}
+    assert (0, 10) in pairs and (2, 21) in pairs
+    # ivf probe finds the query itself
+    got = similarity.ivf_topk(df, [float(x) for x in base[4]], k=3).collect()
+    assert got[0]["id"] == 4
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick fox is in the den"),
+         (1, "el perro y el gato en la casa"),
+         (2, "안녕하세요 한국어 문장 입니다"),
+         (3, "!!! ??? ...")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.with_lang_id(
+               textstats.with_quality_score(
+                   textstats.with_token_counts(df))).collect()}
+    assert out[0]["lang_pred"] == "en"
+    assert out[1]["lang_pred"] == "es"
+    assert out[2]["lang_pred"] == "ko"
+    assert out[0]["n_tokens_ws"] == 7
+    assert out[3]["quality_score"] < out[0]["quality_score"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World  foo bar baz"), (1, "hello world foo bar baz"),
+         (2, "entirely different content here now")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in textstats.with_fingerprint(df).collect()}
+    assert rows[0]["fp_norm"] == rows[1]["fp_norm"]     # spacing/case-robust
+    assert rows[0]["fp_norm"] != rows[2]["fp_norm"]
+    assert rows[0]["fp_shingle"] == rows[1]["fp_shingle"]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.make_fake_media(spark, n=30)
+    feats = multimodal.extract_features(media, decoder="fake").collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic: same payload → same feature
+    f0 = multimodal.extract_features(media, decoder="fake") \
+        .filter(F.col("media_id") == 0).collect()[0]["feature"]
+    assert feats[[r["media_id"] for r in feats].index(0)]["feature"] == f0
+    # real decoder is an explicit stub
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, decoder="real").collect()
+    plan = multimodal.frame_sample_plan(media, every_ms=500)
+    assert plan.count() > 0
+    assert plan.columns == ["media_id", "frame_ts_ms"]
