@@ -21,19 +21,33 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", help="transcript parquet (not needed "
+                                    "with --compact)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--segments", type=int, default=1)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--target-per-split", type=int, default=200_000)
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--append", action="store_true",
+                    help="incremental: append this input as a batch into "
+                         "an existing index (WriteBatch semantics)")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact the index at --output and exit")
     args = ap.parse_args()
 
-    from konlspark import build
+    from konlspark import build, ingest
 
     spark = SparkSession.builder.appName("konlspark-build").getOrCreate()
+    if args.compact:
+        print(json.dumps(ingest.compact(spark, args.output)))
+        return
+    if not args.input:
+        ap.error("--input is required unless --compact")
     transcripts = spark.read.parquet(args.input)
+    if args.append:
+        print(json.dumps(ingest.append_batch(spark, args.output, transcripts)))
+        return
     manifest = build.build_index(
         spark, transcripts, args.output,
         block_size=args.block_size,

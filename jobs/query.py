@@ -24,6 +24,17 @@ def main() -> None:
     ap.add_argument("--suggest-prefix")
     args = ap.parse_args()
 
+    # spark-submit launches Python through the JVM, which decodes argv
+    # with the platform locale: with LANG/LC_ALL unset (POSIX), every
+    # non-ASCII query token arrives corrupted as '?'. Fail loudly.
+    import os
+    import sys
+    if any("?" in t for t in args.tokens) and not (
+            os.environ.get("LC_ALL") or os.environ.get("LANG")):
+        print("error: query tokens look locale-corrupted; run spark-submit "
+              "with LC_ALL=C.UTF-8 for non-ASCII tokens", file=sys.stderr)
+        sys.exit(2)
+
     from konlspark.query import SearchEngine
 
     spark = SparkSession.builder.appName("konlspark-query").getOrCreate()

@@ -50,7 +50,7 @@ DEFAULT_N_BUCKETS = 32
 
 _ANALYZED_EXTRA = (
     "text_hash string, tokens array<string>, tfs array<int>, "
-    "doc_len int, first_pos map<string,int>"
+    "doc_len int, first_pos array<int>"
 )
 
 POSTINGS_SCHEMA = (
@@ -79,13 +79,16 @@ def analyze_transcripts(df: DataFrame) -> DataFrame:
             pdf["tokens"] = toks
             pdf["tfs"] = tfs
             pdf["doc_len"] = lens
+            # first occurrence of each token in the ordered morph stream,
+            # aligned with `tokens` (-1 = token only via whitespace-set
+            # branch, i.e. absent from the ordered stream)
             firsts = []
-            for ordered in ords_:
+            for token_set, ordered in zip(toks, ords_):
                 pos = {}
                 for i, t in enumerate(ordered):
                     if t not in pos:
                         pos[t] = i
-                firsts.append(pos)
+                firsts.append([pos.get(t, -1) for t in token_set])
             pdf["first_pos"] = firsts
             yield pdf
 
@@ -328,18 +331,21 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
     stats = docs.agg(
         F.count("*").alias("n_docs"),
         F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_doc_len"),
         F.max("doc_id").alias("max_doc_id"),
     ).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
     max_doc_id = int(stats["max_doc_id"] or 0)
+    total_doc_len = float(stats["total_doc_len"] or 0.0)
     t = mark("tokenize_dedup_ids", t0)
 
     # docs come out of assign_doc_ids already globally ordered by doc_id
     # across range partitions (disjoint per-file min/max → point/range
     # gets prune to single files); write as-is, no extra shuffle
     docs.write.mode("overwrite").parquet(cat.table_path("docs"))
-    conflicts.write.mode("overwrite").parquet(cat.table_path("conflicts"))
     t = mark("write_docs", t)
+    conflicts.write.mode("overwrite").parquet(cat.table_path("conflicts"))
+    t = mark("write_conflicts", t)
 
     # explode once; term_df feeds token_dict AND the salting decision
     exploded = explode_postings(docs)
@@ -378,7 +384,12 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
         "format_version": 1,
         "n_docs": n_docs,
         "avgdl": avgdl,
+        "avgdl_built": avgdl,
+        "total_doc_len": total_doc_len,
         "max_doc_id": max_doc_id,
+        "next_part": 1,
+        "tables": {"docs": ["docs"], "postings": ["postings"],
+                   "token_dict": ["token_dict"], "tombstones": []},
         "n_buckets": n_buckets,
         "block_size": block_size,
         "bm25": {"k1": BM25_K1, "b": BM25_B},

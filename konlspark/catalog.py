@@ -83,3 +83,28 @@ class IndexCatalog:
     def segment_committed(self, segment_id: str, fingerprint: str) -> bool:
         entry = self.read_segments()["segments"].get(segment_id)
         return bool(entry) and entry.get("fingerprint") == fingerprint
+
+
+# ---------------------------------------------------------------------------
+# Warehouse-level operations (reference: search.py:16-51 — open DB,
+# index catalog scan, destroy)
+# ---------------------------------------------------------------------------
+
+def get_all_indexes(warehouse: str) -> list:
+    """List committed index roots under a warehouse dir (S3: the
+    reference scans catalog keys by prefix, search.py:35-45)."""
+    import glob
+    out = []
+    for manifest in sorted(glob.glob(
+            os.path.join(warehouse, "*", "_meta", "manifest.json"))):
+        out.append(os.path.basename(os.path.dirname(os.path.dirname(manifest))))
+    return out
+
+
+def destroy_index(warehouse: str, name: str) -> None:
+    """Drop one index (S4: KonlSearch.destroy, search.py:50-51)."""
+    import shutil
+    path = os.path.join(warehouse, name)
+    if not os.path.exists(os.path.join(path, "_meta")):
+        raise FileNotFoundError(f"not an index root: {path}")
+    shutil.rmtree(path)

@@ -1,0 +1,264 @@
+"""Incremental ingest: batch append (B6), delete (B5), compaction.
+
+The reference's ``WriteBatch`` gives atomic multi-doc index/delete with
+in-batch visibility (``index.py:130-267``); its ``delete`` removes doc
++ postings + hash and drops a term when its last posting dies
+(``index.py:332-356``, ``inverted_index.py:89-95``). Snapshot
+equivalents here:
+
+- :func:`append_batch` — analyze/dedup a new transcript batch (in-batch
+  dedup AND dedup against live docs — the reference's pending-hash-map
+  overlay), assign ids from ``max_doc_id + 1`` (ids never reused:
+  ``test_konlsearch.py:345-356`` pins that a delete + re-index advances
+  the id), write docs + postings as a NEW part, commit by manifest swap.
+  Nothing is visible until the manifest commit → rollback = don't
+  commit (crashed appends leave unreferenced files only).
+- :func:`delete_docs` — tombstone table; readers anti-join it. BM25
+  global stats (n_docs, total_doc_len) are maintained in the manifest;
+  per-term df and block-max metadata go stale until compaction, so the
+  engine automatically falls back from WAND pruning to the exact path
+  while ``avgdl != avgdl_built`` (pruning bounds would no longer be
+  upper bounds).
+- :func:`compact` — rebuild postings/token_dict/docs from live docs
+  into new versioned dirs (B7 merge shape), drop tombstones, restore
+  exact df/block-max metadata (and with them suggestion-set parity:
+  a term whose last posting died disappears, inverted_index.py:89-95).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Sequence
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import build as B
+from .catalog import IndexCatalog
+
+
+def _tables(manifest: dict) -> dict:
+    return manifest.setdefault("tables", {
+        "docs": ["docs"], "postings": ["postings"],
+        "token_dict": ["token_dict"], "tombstones": [],
+    })
+
+
+def _read_parts(spark: SparkSession, cat: IndexCatalog, manifest: dict,
+                name: str) -> DataFrame:
+    # one read per part dir + union: multi-root reads break partition
+    # discovery (CONFLICTING_DIRECTORY_STRUCTURES) when parts carry
+    # term_bucket= partition dirs; filters still push into each child
+    parts = _tables(manifest)[name]
+    dfs = [spark.read.parquet(cat.table_path(p)) for p in parts]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def append_batch(spark: SparkSession, root: str,
+                 transcripts: DataFrame) -> dict:
+    """Index a new batch into an existing index. Returns
+    ``{"indexed": n, "conflicts": m, "first_doc_id": id}``."""
+    cat = IndexCatalog(root)
+    manifest = cat.read_manifest()
+    if manifest is None:
+        raise FileNotFoundError(f"no committed index at {root}")
+    tables = _tables(manifest)
+    part = f"batch_{int(manifest.get('next_part', 1)):06d}"
+
+    live_docs = _read_parts(spark, cat, manifest, "docs")
+    if tables["tombstones"]:
+        tomb = _read_parts(spark, cat, manifest, "tombstones")
+        live_docs = live_docs.join(tomb, "doc_id", "left_anti")
+
+    analyzed = B.analyze_transcripts(transcripts)
+    # in-batch dedup (keep first by turn order) …
+    from pyspark.sql import Window
+    w = Window.partitionBy("text_hash").orderBy("conv_id", "turn_idx")
+    ranked = (analyzed.withColumn("_rk", F.row_number().over(w))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    in_batch_losers = ranked.filter(F.col("_rk") > 1).drop("_rk")
+    firsts = ranked.filter(F.col("_rk") == 1).drop("_rk")
+    # … then dedup against the live corpus (reference hash-map probe)
+    existing = live_docs.select("text_hash",
+                                F.col("doc_id").alias("conflict_doc_id"))
+    survivors = firsts.join(existing.select("text_hash"), "text_hash",
+                            "left_anti")
+    new_docs = B.assign_doc_ids(
+        survivors, start_id=int(manifest["max_doc_id"]) + 1)
+    new_docs = new_docs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    stats = new_docs.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("sum_len"),
+        F.max("doc_id").alias("max_id")).collect()[0]
+    n_new = int(stats["n"])
+    if n_new == 0:
+        conflicts_n = transcripts.count()
+        ranked.unpersist()
+        new_docs.unpersist()
+        return {"indexed": 0, "conflicts": conflicts_n, "first_doc_id": None}
+
+    docs_path = f"docs_parts/{part}"
+    new_docs.write.mode("overwrite").parquet(cat.table_path(docs_path))
+
+    postings = B.build_postings(
+        new_docs, avgdl=float(manifest["avgdl_built"]),
+        block_size=int(manifest["block_size"]),
+        n_buckets=int(manifest["n_buckets"]))
+    post_path = f"postings_parts/{part}"
+    postings.write.mode("overwrite").partitionBy("term_bucket") \
+        .parquet(cat.table_path(post_path))
+
+    # token_dict: merge df of new terms into a fresh versioned dir
+    td_old = _read_parts(spark, cat, manifest, "token_dict")
+    td_new = B.build_token_dict(new_docs)
+    merged = (td_old.select("term", "df")
+              .unionByName(td_new.select("term", "df"))
+              .groupBy("term").agg(F.sum("df").alias("df")))
+    td = B.build_token_dict(term_df=merged).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"),
+                              F.lit(int(manifest["n_buckets"]))).cast("int"))
+    td_path = f"token_dict_v{int(manifest.get('next_part', 1)) + 1}"
+    (td.repartitionByRange(max(1, int(manifest["n_buckets"]) // 4),
+                           "decomposed")
+       .sortWithinPartitions("decomposed")
+       .write.mode("overwrite").parquet(cat.table_path(td_path)))
+
+    # conflict report (in-batch losers + collisions with live docs)
+    vs_existing = (firsts.join(existing, "text_hash")
+                   .select("conv_id", "turn_idx", "conflict_doc_id"))
+    all_docs_after = new_docs.select("text_hash",
+                                     F.col("doc_id").alias("conflict_doc_id"))
+    in_batch = (in_batch_losers.select("conv_id", "turn_idx", "text_hash")
+                .join(existing.unionByName(all_docs_after), "text_hash")
+                .groupBy("conv_id", "turn_idx")
+                .agg(F.min("conflict_doc_id").alias("conflict_doc_id")))
+    conflicts = vs_existing.unionByName(in_batch)
+    conflicts.write.mode("append").parquet(cat.table_path("conflicts"))
+    n_conflicts = transcripts.count() - n_new
+
+    # commit: single manifest swap makes everything visible atomically
+    manifest["tables"]["docs"].append(docs_path)
+    manifest["tables"]["postings"].append(post_path)
+    manifest["tables"]["token_dict"] = [td_path]
+    manifest["n_docs"] = int(manifest["n_docs"]) + n_new
+    manifest["total_doc_len"] = (
+        manifest.get("total_doc_len",
+                     float(manifest["avgdl"]) * (manifest["n_docs"] - n_new))
+        + float(stats["sum_len"]))
+    manifest["avgdl"] = manifest["total_doc_len"] / manifest["n_docs"]
+    manifest["max_doc_id"] = int(stats["max_id"])
+    manifest["next_part"] = int(manifest.get("next_part", 1)) + 1
+    cat.commit_manifest(manifest)
+    cat.commit_segment(part, {
+        "fingerprint": f"append:{part}:{n_new}",
+        "lineage": {"kind": "append", "rows_in": transcripts.count(),
+                    "indexed": n_new, "conflicts": n_conflicts},
+        "metrics": {"elapsed_sec": None},
+    })
+    ranked.unpersist()
+    new_docs.unpersist()
+    first_id = int(manifest["max_doc_id"]) - n_new + 1
+    return {"indexed": n_new, "conflicts": n_conflicts,
+            "first_doc_id": first_id}
+
+
+def delete_docs(spark: SparkSession, root: str,
+                doc_ids: Sequence[int]) -> dict:
+    """Tombstone-delete documents. Ids never recycle; BM25 stats are
+    maintained; WAND auto-disables until :func:`compact`."""
+    cat = IndexCatalog(root)
+    manifest = cat.read_manifest()
+    if manifest is None:
+        raise FileNotFoundError(f"no committed index at {root}")
+    tables = _tables(manifest)
+
+    live = _read_parts(spark, cat, manifest, "docs")
+    if tables["tombstones"]:
+        live = live.join(_read_parts(spark, cat, manifest, "tombstones"),
+                         "doc_id", "left_anti")
+    victims = live.filter(F.col("doc_id").isin(list(doc_ids)))
+    stats = victims.agg(F.count("*").alias("n"),
+                        F.sum("doc_len").alias("sum_len")).collect()[0]
+    n_del = int(stats["n"])
+    if n_del == 0:
+        return {"deleted": 0}
+    part = f"tomb_{int(manifest.get('next_part', 1)):06d}"
+    spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long") \
+        .write.mode("overwrite").parquet(cat.table_path(f"tombstones/{part}"))
+
+    manifest["tables"]["tombstones"].append(f"tombstones/{part}")
+    manifest["total_doc_len"] = (
+        manifest.get("total_doc_len",
+                     float(manifest["avgdl"]) * manifest["n_docs"])
+        - float(stats["sum_len"]))
+    manifest["n_docs"] = int(manifest["n_docs"]) - n_del
+    manifest["avgdl"] = (manifest["total_doc_len"] / manifest["n_docs"]
+                         if manifest["n_docs"] else 1.0)
+    manifest["next_part"] = int(manifest.get("next_part", 1)) + 1
+    cat.commit_manifest(manifest)
+    return {"deleted": n_del}
+
+
+def compact(spark: SparkSession, root: str) -> dict:
+    """Rebuild a clean snapshot from live docs: exact df / block-max
+    metadata, tombstones folded in, one dir per table."""
+    cat = IndexCatalog(root)
+    manifest = cat.read_manifest()
+    if manifest is None:
+        raise FileNotFoundError(f"no committed index at {root}")
+    tables = _tables(manifest)
+    v = int(manifest.get("next_part", 1)) + 1
+    t0 = time.time()
+
+    live = _read_parts(spark, cat, manifest, "docs")
+    if tables["tombstones"]:
+        live = live.join(_read_parts(spark, cat, manifest, "tombstones"),
+                         "doc_id", "left_anti")
+    live = live.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = live.agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"),
+                     F.sum("doc_len").alias("sum_len"),
+                     F.max("doc_id").alias("max_id")).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = float(stats["avgdl"] or 1.0)
+    n_buckets = int(manifest["n_buckets"])
+
+    docs_path = f"docs_v{v}"
+    live.write.mode("overwrite").parquet(cat.table_path(docs_path))
+
+    exploded = B.explode_postings(live)
+    term_df = exploded.groupBy("term").agg(F.count("*").alias("df"))
+    postings = B.build_postings(live, avgdl,
+                                block_size=int(manifest["block_size"]),
+                                n_buckets=n_buckets,
+                                exploded=exploded, term_df=term_df)
+    post_path = f"postings_v{v}"
+    postings.write.mode("overwrite").partitionBy("term_bucket") \
+        .parquet(cat.table_path(post_path))
+
+    td = B.build_token_dict(term_df=term_df).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    td_path = f"token_dict_v{v}"
+    (td.repartitionByRange(max(1, n_buckets // 4), "decomposed")
+       .sortWithinPartitions("decomposed")
+       .write.mode("overwrite").parquet(cat.table_path(td_path)))
+    live.unpersist()
+
+    manifest["tables"] = {"docs": [docs_path], "postings": [post_path],
+                          "token_dict": [td_path], "tombstones": []}
+    manifest["n_docs"] = n_docs
+    manifest["avgdl"] = avgdl
+    manifest["avgdl_built"] = avgdl
+    manifest["total_doc_len"] = float(stats["sum_len"] or 0.0)
+    # max_doc_id NOT reset: ids never recycle (reference semantics)
+    manifest["next_part"] = v + 1
+    cat.commit_manifest(manifest)
+    cat.commit_segment(f"compact_v{v}", {
+        "fingerprint": f"compact:{v}:{n_docs}",
+        "lineage": {"kind": "compact", "live_docs": n_docs},
+        "metrics": {"elapsed_sec": time.time() - t0},
+    })
+    return {"n_docs": n_docs, "version": v}

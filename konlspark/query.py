@@ -69,12 +69,38 @@ class SearchEngine:
             raise FileNotFoundError(f"no committed index at {self.cat.root}")
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
-        for t in ("postings", "docs", "token_dict"):
-            self.spark.catalog.refreshByPath(self.cat.table_path(t))
-        self.postings = self.spark.read.parquet(self.cat.table_path("postings"))
-        self.docs = self.spark.read.parquet(self.cat.table_path("docs"))
-        self.token_dict = self.spark.read.parquet(
-            self.cat.table_path("token_dict"))
+        # after append/delete the per-block max-score metadata was built
+        # with a different avgdl → pruning bounds are no longer sound;
+        # fall back to the exact path until compaction
+        self.wand_safe = abs(
+            self.avgdl - self.manifest.get("avgdl_built", self.avgdl)) < 1e-12
+        tables = self.manifest.get("tables") or {
+            "docs": ["docs"], "postings": ["postings"],
+            "token_dict": ["token_dict"], "tombstones": [],
+        }
+
+        def read_parts(name):
+            # per-part read + union (multi-root partition discovery
+            # conflicts); pruning filters push into each child scan
+            paths = [self.cat.table_path(p) for p in tables[name]]
+            dfs = []
+            for p in paths:
+                self.spark.catalog.refreshByPath(p)
+                dfs.append(self.spark.read.parquet(p))
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
+        self.postings = read_parts("postings")
+        self.docs = read_parts("docs")
+        self.tombstones = (read_parts("tombstones").select("doc_id")
+                           if tables.get("tombstones") else None)
+        if self.tombstones is not None:
+            self.docs = self.docs.join(self.tombstones, "doc_id", "left_anti")
+        # token_dict is the per-query metadata lookup (df + bucket per
+        # term) — small relative to the corpus; cache it
+        self.token_dict = read_parts("token_dict").cache()
 
     # -- term metadata lookup (tiny) ----------------------------------------
     def _term_meta(self, terms: Sequence[str]) -> Dict[str, dict]:
@@ -126,8 +152,11 @@ class SearchEngine:
                 })
 
         cols = ["term", "doc_ids_delta", "tfs", "doc_lens"]
-        return blocks.select(*cols).mapInPandas(
+        out = blocks.select(*cols).mapInPandas(
             fn, "term string, doc_id long, tf long, score double")
+        if self.tombstones is not None:
+            out = out.join(self.tombstones, "doc_id", "left_anti")
+        return out
 
     def _postings_df(self, terms: Sequence[str],
                      with_scores: bool = False) -> DataFrame:
@@ -175,15 +204,21 @@ class SearchEngine:
         query_ordered = tk.tokenize_with_order(" ".join(tokens))
         if not query_ordered:
             return self.spark.createDataFrame([], "doc_id long")
-        pos_cols = [
-            F.element_at(F.col("first_pos"), F.lit(t)).alias(f"_p{i}")
-            for i, t in enumerate(query_ordered)
-        ]
+
+        def first_pos_of(t):
+            # first_pos is aligned with tokens; -1 / missing = token not
+            # in the ordered morph stream (Q4 quirk → no match)
+            idx = F.array_position(F.col("tokens"), F.lit(t))
+            return F.when(idx > 0, F.element_at(F.col("first_pos"),
+                                                idx.cast("int")))
+
+        pos_cols = [first_pos_of(t).alias(f"_p{i}")
+                    for i, t in enumerate(query_ordered)]
         joined = self.docs.join(candidates, "doc_id", "left_semi") \
                           .select("doc_id", *pos_cols)
         cond = F.lit(True)
         for i in range(len(query_ordered)):
-            cond = cond & F.col(f"_p{i}").isNotNull()
+            cond = cond & F.col(f"_p{i}").isNotNull() & (F.col(f"_p{i}") >= 0)
         for i in range(len(query_ordered) - 1):
             cond = cond & (F.col(f"_p{i}") <= F.col(f"_p{i+1}"))
         return joined.filter(cond).select("doc_id").orderBy("doc_id")
@@ -200,7 +235,8 @@ class SearchEngine:
 
     # -- BM25 top-k ----------------------------------------------------------
     def bm25_topk(self, tokens: Sequence[str], k: int = 10, mode: str = "or",
-                  use_wand: bool = True) -> DataFrame:
+                  use_wand: bool = True,
+                  wand_min_postings: int = 100_000) -> DataFrame:
         """DataFrame(doc_id, score) — exact top-k, ties by ascending id."""
         uniq = list(dict.fromkeys(tokens))
         meta = self._term_meta(uniq)
@@ -212,7 +248,12 @@ class SearchEngine:
         idf = {t: bm25_idf(self.n_docs, m["df"]) for t, m in meta.items()}
         blocks = self._blocks_for(meta)
 
-        if use_wand and mode == "or" and len(meta) > 1:
+        # block-max pruning pays off when there is real decode work to
+        # skip; below ~100k candidate postings the two extra driver
+        # round-trips (σ agg + τ pass) cost more than they save
+        total_df = sum(m["df"] for m in meta.values())
+        if (use_wand and self.wand_safe and mode == "or" and len(meta) > 1
+                and total_df >= wand_min_postings):
             blocks = self._wand_prune(blocks, meta, idf, k)
 
         scored = (

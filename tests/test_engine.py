@@ -152,7 +152,8 @@ def test_zipf_bm25_parity_and_wand_lossless(zeng, zipf_oracle):
         exact = [(r["doc_id"], r["score"]) for r in
                  zeng.bm25_topk(q, k=10, use_wand=False).collect()]
         wand = [(r["doc_id"], r["score"]) for r in
-                zeng.bm25_topk(q, k=10, use_wand=True).collect()]
+                zeng.bm25_topk(q, k=10, use_wand=True,
+                               wand_min_postings=0).collect()]
         want = zipf_oracle.bm25_topk(q, k=10)
         assert [d for d, _ in exact] == [d for d, _ in want], q
         for (_, a), (_, b) in zip(exact, want):
