@@ -33,6 +33,10 @@ def main() -> None:
         "SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--turns", type=int, default=0,
                     help="override synthetic corpus size (default sf*1M)")
+    ap.add_argument("--min-words", type=int, default=3)
+    ap.add_argument("--max-words", type=int, default=60,
+                    help="turn length range; real transcript turns are "
+                         "tens of words, making the build compute-bound")
     ap.add_argument("--segments", type=int, default=1)
     ap.add_argument("--build-only", action="store_true")
     args = ap.parse_args()
@@ -58,10 +62,18 @@ def main() -> None:
     # --- headline: index build over sf*1M synthetic transcript turns -----
     root = f"/tmp/konlspark_bench_idx_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
-    pdf = corpus.make_transcripts(n_turns, turns_per_conv=20, seed=42)
-    tdf = corpus.spark_transcripts(spark, pdf).repartition(
-        max(8, args.cores)).cache()
+    tdf = corpus.spark_make_transcripts(
+        spark, n_turns, turns_per_conv=20, seed=42,
+        min_words=args.min_words, max_words=args.max_words,
+        num_partitions=max(8, args.cores)).cache()
     tdf.count()  # materialize input outside the timed window
+    # warm-up: spin up the Python workers / JIT on a tiny build so the
+    # timed run measures steady state (cold-start is ~15s of pandas
+    # imports across 32 workers, which would swamp scaling comparisons)
+    warm = corpus.spark_transcripts(
+        spark, corpus.make_transcripts(5000, seed=1))
+    build.build_index(spark, warm, root + "_warm")
+    shutil.rmtree(root + "_warm", ignore_errors=True)
     t0 = time.time()
     build.build_index(spark, tdf, root, n_segments=args.segments)
     timings["index_build"] = time.time() - t0

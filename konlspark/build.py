@@ -26,9 +26,9 @@ dedup → id-assign → tokenize → invert) as Spark jobs designed for
 
 from __future__ import annotations
 
-import math
+
 import time
-from typing import Iterable, Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -64,35 +64,66 @@ POSTINGS_SCHEMA = (
 # Tokenize (P1-P4) — one Arrow pass
 # ---------------------------------------------------------------------------
 
+def _analyze_record_batch(batch) -> "object":
+    """One Arrow batch → same batch + tokens/tfs/doc_len/first_pos.
+
+    Hand-built ``ListArray``s (offsets + flat values): the pandas
+    object-column → Arrow conversion that ``mapInPandas`` would do per
+    element is the dominant cost of the whole build at 1M+ rows.
+    """
+    import itertools
+
+    import pyarrow as pa
+
+    texts = batch.column(batch.schema.get_field_index("text")).to_pylist()
+    toks, ords_, tfs, lens = tk.analyze_series(texts)
+    firsts = []
+    for token_set, ordered in zip(toks, ords_):
+        # first occurrence per token in the ordered morph stream,
+        # aligned with `tokens`; -1 = whitespace-set-only token
+        pos = {}
+        for i, t in enumerate(ordered):
+            if t not in pos:
+                pos[t] = i
+        firsts.append([pos.get(t, -1) for t in token_set])
+    offsets = np.zeros(len(toks) + 1, dtype=np.int32)
+    np.cumsum([len(x) for x in toks], out=offsets[1:])
+    off_arr = pa.array(offsets)
+    tokens_arr = pa.ListArray.from_arrays(
+        off_arr,
+        pa.array(list(itertools.chain.from_iterable(toks)), pa.string()))
+    tfs_arr = pa.ListArray.from_arrays(
+        off_arr,
+        pa.array(np.fromiter(itertools.chain.from_iterable(tfs),
+                             dtype=np.int32, count=int(offsets[-1]))))
+    firsts_arr = pa.ListArray.from_arrays(
+        off_arr,
+        pa.array(np.fromiter(itertools.chain.from_iterable(firsts),
+                             dtype=np.int32, count=int(offsets[-1]))))
+    lens_arr = pa.array(np.asarray(lens, dtype=np.int32))
+    return pa.RecordBatch.from_arrays(
+        list(batch.columns) + [tokens_arr, tfs_arr, lens_arr, firsts_arr],
+        names=list(batch.schema.names)
+        + ["tokens", "tfs", "doc_len", "first_pos"])
+
+
+def _analyzed_schema(schema: T.StructType) -> T.StructType:
+    return T.StructType.fromDDL(
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
+        + ", " + _ANALYZED_EXTRA.replace("text_hash string, ", ""))
+
+
 def analyze_transcripts(df: DataFrame) -> DataFrame:
     """Add text_hash/tokens/tfs/doc_len/first_pos to a transcript DF."""
-    df = df.withColumn("text_hash", F.sha2(F.col("text"), 256))
-    out_schema = T.StructType.fromDDL(
-        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
-        + ", " + _ANALYZED_EXTRA.replace("text_hash string, ", "")
-    )
+    if "text_hash" not in df.columns:
+        df = df.withColumn("text_hash", F.sha2(F.col("text"), 256))
+    out_schema = _analyzed_schema(df.schema)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            toks, ords_, tfs, lens = tk.analyze_series(pdf["text"])
-            pdf = pdf.copy()
-            pdf["tokens"] = toks
-            pdf["tfs"] = tfs
-            pdf["doc_len"] = lens
-            # first occurrence of each token in the ordered morph stream,
-            # aligned with `tokens` (-1 = token only via whitespace-set
-            # branch, i.e. absent from the ordered stream)
-            firsts = []
-            for token_set, ordered in zip(toks, ords_):
-                pos = {}
-                for i, t in enumerate(ordered):
-                    if t not in pos:
-                        pos[t] = i
-                firsts.append([pos.get(t, -1) for t in token_set])
-            pdf["first_pos"] = firsts
-            yield pdf
+    def fn(batches):
+        for batch in batches:
+            yield _analyze_record_batch(batch)
 
-    return df.mapInPandas(fn, out_schema)
+    return df.mapInArrow(fn, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -110,6 +141,18 @@ def assign_doc_ids(df: DataFrame, order_cols: Tuple[str, ...] = ("conv_id", "tur
     one count per partition. The input is persisted so both passes see
     the same partitioning (repartitionByRange samples its boundaries).
     """
+    ranged, b_off, out_schema = _prepare_ranked(
+        df, order_cols, num_partitions, start_id)
+    out = ranged.mapInArrow(_make_rank_fn(b_off, out_schema), out_schema)
+    # hand the persisted intermediate to the caller so it can unpersist
+    # once downstream results are materialized (avoids cache leak)
+    out._konl_persisted = ranged  # type: ignore[attr-defined]
+    return out
+
+
+def _prepare_ranked(df: DataFrame, order_cols, num_partitions, start_id):
+    """Range-partition + sort + per-partition offsets (the two-pass
+    half of doc-id assignment, shared by the plain and fused paths)."""
     spark = df.sparkSession
     parts = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
     ranged = (
@@ -128,29 +171,37 @@ def assign_doc_ids(df: DataFrame, order_cols: Tuple[str, ...] = ("conv_id", "tur
     out_schema = T.StructType(
         [f for f in ranged.schema if f.name != "_pid"]
         + [T.StructField("doc_id", T.LongType(), False)])
-    cols = [f.name for f in out_schema]
+    return ranged, b_off, out_schema
 
-    def rank_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def _rank_batch(batch, pos, b_off, names):
+    """Append dense doc ids to one sorted Arrow batch; returns
+    (ranked_batch, next_pos)."""
+    import pyarrow as pa
+    n = batch.num_rows
+    if pos is None:
+        pid_idx = batch.schema.get_field_index("_pid")
+        pos = b_off.value[int(batch.column(pid_idx)[0].as_py())]
+    arrays = [batch.column(c) for c in names[:-1]]
+    arrays.append(pa.array(np.arange(pos + 1, pos + 1 + n, dtype=np.int64)))
+    return pa.RecordBatch.from_arrays(arrays, names=names), pos + n
+
+
+def _make_rank_fn(b_off, out_schema):
+    names = [f.name for f in out_schema]
+
+    def rank_partition(batches) -> Iterator:
         # rows arrive in sorted order within the partition; ids are the
         # partition's cumulative offset + local position (no shuffle, no
-        # window — this runs as a pure map stage over the persisted data)
+        # window — a pure Arrow map stage over the persisted data)
         pos = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            if pos is None:
-                pos = b_off.value[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf["doc_id"] = np.arange(pos + 1, pos + 1 + len(pdf),
-                                      dtype=np.int64)
-            pos += len(pdf)
-            yield pdf[cols]
+            out, pos = _rank_batch(batch, pos, b_off, names)
+            yield out
 
-    out = ranged.mapInPandas(rank_partition, out_schema)
-    # hand the persisted intermediate to the caller so it can unpersist
-    # once downstream results are materialized (avoids cache leak)
-    out._konl_persisted = ranged  # type: ignore[attr-defined]
-    return out
+    return rank_partition
 
 
 # ---------------------------------------------------------------------------
@@ -159,31 +210,44 @@ def assign_doc_ids(df: DataFrame, order_cols: Tuple[str, ...] = ("conv_id", "tur
 
 def build_docs(transcripts: DataFrame,
                num_partitions: Optional[int] = None) -> Tuple[DataFrame, DataFrame]:
-    """Analyze + dedup + assign ids.
+    """Dedup + assign ids + analyze (one fused Python stage).
 
-    Returns ``(docs, conflicts)``: ``docs`` carries dense 1-based
-    ``doc_id`` over first-occurrence survivors; ``conflicts`` mirrors the
-    reference's CONFLICT result (``index.py:301-305``) with the winning
-    doc id per duplicate turn.
+    Returns ``(docs, losers)``: ``docs`` carries dense 1-based ``doc_id``
+    over first-occurrence survivors; ``losers`` are the duplicate turns
+    ``(conv_id, turn_idx, text_hash)`` — join them against the written
+    docs table on ``text_hash`` to produce the reference's CONFLICT
+    report with the winning doc id (``index.py:301-305``).
     """
-    analyzed = analyze_transcripts(transcripts)
+    # dedup and id-assignment run over NARROW raw rows (hash is a cheap
+    # JVM expression); tokenization happens once, after the last
+    # shuffle, as a pure map stage — token arrays never cross the wire
+    hashed = transcripts.withColumn("text_hash", F.sha2(F.col("text"), 256))
     w = Window.partitionBy("text_hash").orderBy("conv_id", "turn_idx")
-    # persist the tokenized+ranked rows: both the survivors branch and
-    # the conflicts branch read it, and tokenization is the expensive
-    # stage — without this the losers join re-runs the tokenizer
-    ranked = (analyzed.withColumn("_rk", F.row_number().over(w))
+    ranked = (hashed.withColumn("_rk", F.row_number().over(w))
               .persist(StorageLevel.MEMORY_AND_DISK))
     survivors = ranked.filter(F.col("_rk") == 1).drop("_rk")
     losers = ranked.filter(F.col("_rk") > 1).drop("_rk")
-    docs = assign_doc_ids(survivors, num_partitions=num_partitions)
+
+    # fused id-assignment + tokenization: ONE Python stage (one worker
+    # set, one Arrow round-trip) instead of two chained map stages
+    ranged, b_off, ids_schema = _prepare_ranked(
+        survivors, ("conv_id", "turn_idx"), num_partitions, 1)
+    names = [f.name for f in ids_schema]
+    out_schema = _analyzed_schema(ids_schema)
+
+    def fused(batches) -> Iterator:
+        pos = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            with_id, pos = _rank_batch(batch, pos, b_off, names)
+            yield _analyze_record_batch(with_id)
+
+    docs = ranged.mapInArrow(fused, out_schema)
+    docs._konl_persisted = ranged  # type: ignore[attr-defined]
     docs._konl_persisted2 = ranked  # type: ignore[attr-defined]
-    conflicts = (
-        losers.select("conv_id", "turn_idx", "text_hash")
-        .join(docs.select("text_hash", F.col("doc_id").alias("conflict_doc_id")),
-              "text_hash")
-        .select("conv_id", "turn_idx", "conflict_doc_id")
-    )
-    return docs, conflicts
+    losers = losers.select("conv_id", "turn_idx", "text_hash")
+    return docs, losers
 
 
 # ---------------------------------------------------------------------------
@@ -326,8 +390,17 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
         phases[name] = round(now - since, 2)
         return now
 
-    docs, conflicts = build_docs(transcripts)
-    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    docs_lazy, losers = build_docs(transcripts)
+    t = mark("dedup_assign_ids", t0)
+
+    # write docs FIRST: tokenization runs exactly once, streamed straight
+    # into the parquet write (no wide-row cache); every downstream pass
+    # (stats, explode, segments) re-reads the columnar file with column
+    # pruning — cheaper than caching tokenized rows in the block manager
+    docs_lazy.write.mode("overwrite").parquet(cat.table_path("docs"))
+    t = mark("tokenize_write_docs", t)
+    docs = spark.read.parquet(cat.table_path("docs"))
+
     stats = docs.agg(
         F.count("*").alias("n_docs"),
         F.avg("doc_len").alias("avgdl"),
@@ -337,13 +410,14 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
     max_doc_id = int(stats["max_doc_id"] or 0)
     total_doc_len = float(stats["total_doc_len"] or 0.0)
-    t = mark("tokenize_dedup_ids", t0)
 
-    # docs come out of assign_doc_ids already globally ordered by doc_id
-    # across range partitions (disjoint per-file min/max → point/range
-    # gets prune to single files); write as-is, no extra shuffle
-    docs.write.mode("overwrite").parquet(cat.table_path("docs"))
-    t = mark("write_docs", t)
+    # CONFLICT report: losers joined to the winner's id via the written
+    # docs table (columnar read of text_hash+doc_id only)
+    conflicts = (
+        losers.join(docs.select("text_hash",
+                                F.col("doc_id").alias("conflict_doc_id")),
+                    "text_hash")
+        .select("conv_id", "turn_idx", "conflict_doc_id"))
     conflicts.write.mode("overwrite").parquet(cat.table_path("conflicts"))
     t = mark("write_conflicts", t)
 
@@ -374,10 +448,8 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
                        avgdl, block_size, n_buckets)
     t = mark("write_postings", t)
     term_df.unpersist()
-
-    docs.unpersist()
     for attr in ("_konl_persisted", "_konl_persisted2"):
-        persisted = getattr(docs, attr, None)
+        persisted = getattr(docs_lazy, attr, None)
         if persisted is not None:
             persisted.unpersist()
     manifest = {

@@ -17,7 +17,7 @@ Fully deterministic (numpy PCG64 with a fixed seed; no wall clock).
 from __future__ import annotations
 
 import datetime
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd
@@ -63,7 +63,8 @@ def _zipf_weights(n: int, s: float = 1.2) -> np.ndarray:
 
 
 def make_transcripts(n_turns: int, turns_per_conv: int = 20,
-                     seed: int = 42, title_every: int = 3) -> pd.DataFrame:
+                     seed: int = 42, title_every: int = 3,
+                     min_words: int = 3, max_words: int = 15) -> pd.DataFrame:
     """Deterministic transcript table with ``n_turns`` rows.
 
     Every ``title_every``-th turn's text is a reference title (cycled);
@@ -73,7 +74,7 @@ def make_transcripts(n_turns: int, turns_per_conv: int = 20,
     """
     rng = np.random.default_rng(seed)
     weights = _zipf_weights(len(_VOCAB))
-    lengths = rng.integers(3, 15, size=n_turns)
+    lengths = rng.integers(min_words, max_words, size=n_turns)
     word_idx = rng.choice(len(_VOCAB), size=int(lengths.sum()), p=weights)
 
     texts: List[str] = []
@@ -122,6 +123,86 @@ def make_title_transcripts() -> pd.DataFrame:
         "tool": ["" for _ in range(n)],
         "ts": [_EPOCH + datetime.timedelta(seconds=60 * i) for i in range(n)],
     })
+
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based deterministic 64-bit mix (splitmix64): per-row
+    randomness independent of partitioning/batching."""
+    z = (x + _GOLD).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def spark_make_transcripts(spark, n_turns: int, turns_per_conv: int = 20,
+                           seed: int = 42, title_every: int = 3,
+                           min_words: int = 10, max_words: int = 60,
+                           num_partitions: int = 0):
+    """Distributed deterministic transcript synthesis (for large-scale
+    benches; driver-side :func:`make_transcripts` covers tests).
+
+    Every field is a pure function of the global row id via a
+    counter-based hash, so output is identical for any partitioning —
+    the 10^12-turn story: generation scales with the cluster, no
+    driver-side materialization.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    if num_partitions <= 0:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = spark.range(0, n_turns, 1, num_partitions)
+    weights = _zipf_weights(len(_VOCAB))
+    cdf = np.cumsum(weights)
+    vocab = np.array(_VOCAB, dtype=object)
+    titles = np.array(TITLES, dtype=object)
+    epoch_us = int(_EPOCH.timestamp() * 1_000_000)
+    span = max_words - min_words
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy().astype(np.uint64)
+            n = len(ids)
+            lengths = (min_words
+                       + (_splitmix64(ids * np.uint64(2) + np.uint64(seed))
+                          % np.uint64(span))).astype(np.int64)
+            texts = []
+            for i in range(n):
+                rid = int(ids[i])
+                if rid % title_every == 0:
+                    texts.append(titles[(rid // title_every) % len(titles)])
+                    continue
+                ws = _splitmix64(
+                    np.arange(lengths[i], dtype=np.uint64)
+                    + np.uint64(rid) * np.uint64(1_000_003)
+                    + np.uint64(seed))
+                u = ws.astype(np.float64) / 2.0**64
+                texts.append(" ".join(vocab[np.searchsorted(cdf, u)]))
+            roles = np.array(["user", "assistant", "tool"], dtype=object)[
+                (ids % np.uint64(3)).astype(np.int64)]
+            tools = np.where(
+                ids % np.uint64(3) == 2,
+                np.array(["", "search", "code", "browser"], dtype=object)[
+                    (ids % np.uint64(4)).astype(np.int64)],
+                "")
+            yield pa.RecordBatch.from_arrays([
+                pa.array([f"conv-{int(i) // turns_per_conv:08d}"
+                          for i in ids]),
+                pa.array((ids % np.uint64(turns_per_conv)).astype(np.int32)),
+                pa.array(roles, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(tools, pa.string()),
+                pa.array((epoch_us + ids.astype(np.int64) * 60_000_000)
+                         .astype("datetime64[us]")),
+            ], names=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    out = base.mapInArrow(
+        gen, "conv_id string, turn_idx int, role string, text string, "
+             "tool string, ts timestamp")
+    return out.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
 
 
 def spark_transcripts(spark, pdf: pd.DataFrame):

@@ -28,7 +28,7 @@ equivalents here:
 from __future__ import annotations
 
 import time
-from typing import List, Sequence
+from typing import Sequence
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
@@ -74,11 +74,12 @@ def append_batch(spark: SparkSession, root: str,
         tomb = _read_parts(spark, cat, manifest, "tombstones")
         live_docs = live_docs.join(tomb, "doc_id", "left_anti")
 
-    analyzed = B.analyze_transcripts(transcripts)
+    # dedup over narrow raw rows; tokenize only the final survivors
+    hashed = transcripts.withColumn("text_hash", F.sha2(F.col("text"), 256))
     # in-batch dedup (keep first by turn order) …
     from pyspark.sql import Window
     w = Window.partitionBy("text_hash").orderBy("conv_id", "turn_idx")
-    ranked = (analyzed.withColumn("_rk", F.row_number().over(w))
+    ranked = (hashed.withColumn("_rk", F.row_number().over(w))
               .persist(StorageLevel.MEMORY_AND_DISK))
     in_batch_losers = ranked.filter(F.col("_rk") > 1).drop("_rk")
     firsts = ranked.filter(F.col("_rk") == 1).drop("_rk")
@@ -87,9 +88,10 @@ def append_batch(spark: SparkSession, root: str,
                                 F.col("doc_id").alias("conflict_doc_id"))
     survivors = firsts.join(existing.select("text_hash"), "text_hash",
                             "left_anti")
-    new_docs = B.assign_doc_ids(
+    new_ids = B.assign_doc_ids(
         survivors, start_id=int(manifest["max_doc_id"]) + 1)
-    new_docs = new_docs.persist(StorageLevel.MEMORY_AND_DISK)
+    new_docs = B.analyze_transcripts(new_ids) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     stats = new_docs.agg(
         F.count("*").alias("n"), F.sum("doc_len").alias("sum_len"),

@@ -24,8 +24,8 @@ plans:
 
 from __future__ import annotations
 
-import math
-import time
+
+
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Union
 
@@ -164,6 +164,20 @@ class SearchEngine:
         idf = ({t: bm25_idf(self.n_docs, m["df"]) for t, m in meta.items()}
                if with_scores else None)
         return self._decode(self._blocks_for(meta), idf)
+
+    def postings_for(self, term: str) -> DataFrame:
+        """Q1: one term's postings as (doc_id, tf), ascending — the
+        reference's ``inverted_index[token]`` (inverted_index.py:60-63)."""
+        return (self._postings_df([term])
+                .select("doc_id", "tf").orderBy("doc_id"))
+
+    def __len__(self) -> int:
+        """S13: maintained live-document count (index.py:457-463)."""
+        return int(self.n_docs)
+
+    def __contains__(self, term: str) -> bool:
+        """inverted_index.py:65-68: term has ≥1 posting."""
+        return term in self._term_meta([term])
 
     # -- boolean search (reference-identical doc-id lists) --------------------
     def search(self, tokens: Sequence[str], mode: str,

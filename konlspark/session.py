@@ -33,6 +33,10 @@ def get_spark(app_name: str = "konlspark", cores: int | None = None,
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # shuffle/spill on tmpfs: the VM's virtio disk has high variable
+        # latency that makes local-mode shuffle timings bimodal; a real
+        # cluster would use local SSDs
+        .config("spark.local.dir", _local_dir())
         # executors must be able to import konlspark
         .config("spark.executorEnv.PYTHONPATH", _repo_root())
     )
@@ -43,3 +47,11 @@ def get_spark(app_name: str = "konlspark", cores: int | None = None,
 
 def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _local_dir() -> str:
+    if os.path.isdir("/dev/shm"):
+        path = "/dev/shm/konlspark-spark-tmp"
+        os.makedirs(path, exist_ok=True)
+        return path
+    return "/tmp"
