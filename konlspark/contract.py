@@ -509,6 +509,42 @@ def oracle_sql() -> Dict[str, str]:
           min(('0x' || substr(md5('s0:' || shingle), 1, 15))::BIGINT) AS mh0,
           min(('0x' || substr(md5('s1:' || shingle), 1, 15))::BIGINT) AS mh1
         FROM ex GROUP BY doc_id ORDER BY id"""
+    # d4: the whole MinHash-LSH pipeline is md5-based → fully
+    # SQL-expressible; bands of 2 hashes each (16 hashes / 8 bands),
+    # candidate = same band signature, verified with exact 3-gram Jaccard
+    mh_cols = ",\n          ".join(
+        f"min(('0x' || substr(md5('s{i}:' || shingle), 1, 15))::BIGINT) AS mh{i}"
+        for i in range(16))
+    band_rows = ",\n            ".join(
+        f"(id, {b}, md5({b} || ',' || mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR))"
+        for b in range(8))
+    o["d4_minhash_lsh_pairs"] = f"""
+        WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, {sh3} AS s FROM d),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        sig AS (SELECT doc_id AS id,
+          {mh_cols}
+          FROM ex GROUP BY doc_id),
+        bands AS (
+          SELECT id, b.band_no, b.bsig FROM sig,
+          LATERAL (VALUES {band_rows}) AS b(id2, band_no, bsig)
+          WHERE b.id2 = sig.id),
+        cands AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_no = b.band_no AND a.bsig = b.bsig AND a.id < b.id),
+        sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN cands c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+          GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b,
+               round(i.i::DOUBLE / (sa.n_sh + sb.n_sh - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.i::DOUBLE / (sa.n_sh + sb.n_sh - i.i) >= 0.5"""
     o["v1_cosine_topk"] = """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
         SELECT vec_id AS id,
@@ -517,6 +553,55 @@ def oracle_sql() -> Dict[str, str]:
                         * sqrt(list_dot_product(qv, qv))), 4) AS cos
         FROM embeddings, q
         ORDER BY cos DESC, id LIMIT 10"""
+    # t2/t3 replicate konlspark.ops.textstats heuristics verbatim in SQL
+    en = "['the','a','and','of','to','in','is','it','for','on']"
+    es = "['el','la','de','que','y','en','un','es','los','del']"
+    de = "['der','die','das','und','ist','von','mit','ein','zu','den']"
+    o["t2_lang_id_counts"] = f"""
+        WITH t AS (
+          SELECT {_DUCK_TOKS} AS toks,
+                 len(regexp_extract_all(text, '[가-힣]'))::DOUBLE
+                   / greatest(length(text), 1) AS hangul,
+                 text
+          FROM documents),
+        r AS (
+          SELECT hangul,
+            len(list_filter(toks, x -> list_contains({en}, x)))::DOUBLE
+              / greatest(len(toks), 1) AS en_r,
+            len(list_filter(toks, x -> list_contains({es}, x)))::DOUBLE
+              / greatest(len(toks), 1) AS es_r,
+            len(list_filter(toks, x -> list_contains({de}, x)))::DOUBLE
+              / greatest(len(toks), 1) AS de_r
+          FROM t)
+        SELECT CASE WHEN hangul > 0.3 THEN 'ko'
+                    WHEN en_r >= es_r AND en_r >= de_r AND en_r > 0 THEN 'en'
+                    WHEN es_r >= de_r AND es_r > 0 THEN 'es'
+                    WHEN de_r > 0 THEN 'de'
+                    ELSE 'und' END AS lang_pred,
+               count(*) AS n
+        FROM r GROUP BY 1"""
+    o["t3_quality_scores"] = f"""
+        WITH t AS (
+          SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+          WHERE doc_id < 50),
+        m AS (
+          SELECT doc_id,
+            greatest(len(toks), 1)::DOUBLE AS n_toks,
+            greatest(length(text), 1)::DOUBLE AS n_chars,
+            len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct,
+            len(list_filter(toks, x -> list_contains({en}, x)))::DOUBLE AS n_stop,
+            len(list_distinct(toks))::DOUBLE AS n_distinct,
+            list_sum(list_transform(toks, x -> length(x)))::DOUBLE AS sum_len
+          FROM t)
+        SELECT doc_id, round(
+            0.3 * (CASE WHEN n_toks >= 5 AND n_toks <= 100000
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.2 * (CASE WHEN sum_len / n_toks >= 2 AND sum_len / n_toks <= 15
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.2 * (CASE WHEN n_punct / n_chars <= 0.3 THEN 1.0 ELSE 0.0 END)
+          + 0.15 * least(n_stop / n_toks * 5, 1.0)
+          + 0.15 * (n_distinct / n_toks), 6) AS quality_score
+        FROM m ORDER BY doc_id"""
     o["t1_token_counts"] = f"""
         SELECT doc_id, len({_DUCK_TOKS})::INT AS n_tokens_ws,
                length(text)::INT AS n_chars_
