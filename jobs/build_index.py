@@ -27,7 +27,9 @@ def main() -> None:
     ap.add_argument("--segments", type=int, default=1)
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--target-per-split", type=int, default=200_000)
-    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="posting term buckets; default max(32, cluster "
+                         "parallelism) — raise with cluster size")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--append", action="store_true",
                     help="incremental: append this input as a batch into "

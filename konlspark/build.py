@@ -372,7 +372,7 @@ def build_token_dict(docs: Optional[DataFrame] = None,
 def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
                 block_size: int = DEFAULT_BLOCK_SIZE,
                 target_per_split: int = DEFAULT_TARGET_POSTINGS_PER_SPLIT,
-                n_buckets: int = DEFAULT_N_BUCKETS,
+                n_buckets: Optional[int] = None,
                 n_segments: int = 1,
                 resume: bool = True) -> dict:
     """Build a queryable index at ``root``; returns the manifest.
@@ -380,7 +380,14 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
     ``n_segments > 1`` builds postings per doc-id-range segment with a
     fingerprinted checkpoint each (resume skips committed segments),
     then merges segments into the final postings table.
+
+    ``n_buckets`` defaults to ``max(32, cluster parallelism)`` — the
+    bucket count caps posting-write parallelism (one file per bucket),
+    so it must grow with the cluster, not stay pinned at 32.
     """
+    if n_buckets is None:
+        n_buckets = max(DEFAULT_N_BUCKETS,
+                        spark.sparkContext.defaultParallelism)
     cat = IndexCatalog(root)
     t0 = time.time()
     phases: dict = {}

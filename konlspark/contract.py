@@ -384,7 +384,8 @@ def oracle_sql() -> Dict[str, str]:
         "SELECT doc_id, text, lang FROM documents WHERE doc_id = 42"
     o["s6_full_scan_stats"] = (
         "SELECT count(*) AS n_docs, min(doc_id) AS min_id, "
-        "max(doc_id) AS max_id, sum(n_chars) AS total_chars FROM documents")
+        "max(doc_id) AS max_id, sum(n_chars)::BIGINT AS total_chars "
+        "FROM documents")
     o["s7_range_scan"] = (
         "SELECT doc_id, source, n_chars FROM documents "
         "WHERE doc_id >= 100 AND doc_id < 120 ORDER BY doc_id")

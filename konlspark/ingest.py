@@ -101,6 +101,9 @@ def append_batch(spark: SparkSession, root: str,
         conflicts_n = transcripts.count()
         ranked.unpersist()
         new_docs.unpersist()
+        ranged = getattr(new_ids, "_konl_persisted", None)
+        if ranged is not None:
+            ranged.unpersist()
         return {"indexed": 0, "conflicts": conflicts_n, "first_doc_id": None}
 
     docs_path = f"docs_parts/{part}"
@@ -163,6 +166,9 @@ def append_batch(spark: SparkSession, root: str,
     })
     ranked.unpersist()
     new_docs.unpersist()
+    ranged = getattr(new_ids, "_konl_persisted", None)
+    if ranged is not None:  # assign_doc_ids' range-partitioned intermediate
+        ranged.unpersist()
     first_id = int(manifest["max_doc_id"]) - n_new + 1
     return {"indexed": n_new, "conflicts": n_conflicts,
             "first_doc_id": first_id}

@@ -73,13 +73,16 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.95,
 
 def _hyperplane_sign(vec_col, plane: int, dim: int):
     """Deterministic pseudo-random hyperplane: weight for (plane, i) =
-    ±1 from xxhash64 parity — reproducible with no RNG state."""
+    ±1 from the parity of the first md5 hex digit of "plane:i" —
+    reproducible with no RNG state, and the identical expression is
+    writable in ANSI SQL/DuckDB (→ the LSH banding is oracle-able)."""
     v = vec_col
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
     w = F.transform(idx, lambda i:
-                    F.when(F.xxhash64(F.concat_ws(":", F.lit(plane),
-                                                  i.cast("string")))
-                           .bitwiseAND(F.lit(1)) == 1, F.lit(1.0))
+                    F.when(F.conv(F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(plane)),
+                                          i.cast("string"))), 1, 1),
+                        16, 10).cast("int") % 2 == 1, F.lit(1.0))
                     .otherwise(F.lit(-1.0)))
     proj = F.aggregate(F.zip_with(v, w, lambda x, y: x * y),
                        F.lit(0.0), lambda a, b: a + b)

@@ -189,7 +189,10 @@ class SearchEngine:
         uniq = list(dict.fromkeys(tokens))
         meta = self._term_meta(uniq)
         if log:
-            self._log_hits(uniq, meta)
+            # log one entry per token OCCURRENCE (duplicates included) —
+            # reference inverted_index.py:103-109 iterates the raw query
+            # token list; the search itself uses the deduped set
+            self._log_hits(list(tokens), meta)
         empty = self.spark.createDataFrame([], "doc_id long")
         if not uniq:
             return empty
@@ -351,14 +354,61 @@ class SearchEngine:
         )
         return [(r["term"], r["freq"]) for r in rows]
 
+    def search_suggestions_df(self, prefix: str) -> DataFrame:
+        """Q6 as a DataFrame plan (no driver collect): indexed terms
+        whose jamo-decomposed form extends ``decompose(prefix)`` — the
+        pushed-down StringStartsWith range scan over token_dict."""
+        dp = tk.decompose(prefix)
+        return (self.token_dict
+                .filter(F.col("decomposed").startswith(dp))
+                .select("term").orderBy("term"))
+
+    def search_by_frequency_df(self, prefix: str, k: int = 5) -> DataFrame:
+        """Q7 as a DataFrame plan: (term, freq) top-k under a prefix."""
+        dp = tk.decompose(prefix)
+        freq = self._read_token_freq()
+        if freq is None:
+            return self.spark.createDataFrame([], "term string, freq long")
+        return (
+            freq.join(self.token_dict.select("term", "decomposed"), "term")
+            .filter(F.col("decomposed").startswith(dp))
+            .orderBy(F.desc("freq"), F.asc("term")).limit(k)
+            .select("term", F.col("freq").cast("long").alias("freq"))
+        )
+
     # -- query log (S10/Q8) + incremental aggregation (Q9) --------------------
-    def _log_hits(self, tokens: Sequence[str], meta: Dict[str, dict]) -> None:
-        """Append (token, 1) per query token with ≥1 hit
-        (inverted_index.py:107-109)."""
-        hits = [t for t in tokens if t in meta]
-        if not hits:
-            return
-        last = self._meta_kv().get("log_last_seq", 0)
+    #
+    # Hot-read-path design: logging a search must NOT touch the manifest
+    # (a read-modify-write per query serializes readers and doubles the
+    # filesystem commits). The log is append-only parquet; the sequence
+    # high-water mark lives in `query_log/_seq/` as empty marker files
+    # named by the last seq id (leading `_` hides the dir from Spark's
+    # file index). Appending = one parquet write + one marker touch.
+    # Single concurrent writer assumed (the reference is an embedded
+    # single-process engine, log.py:20-45); at cluster scale the log
+    # would be a streaming sink sharded by time with file-embedded base
+    # offsets — see konlspark/streaming.py.
+
+    def _log_seq_dir(self) -> str:
+        import os
+        return os.path.join(self.cat.table_path("query_log"), "_seq")
+
+    def _last_log_seq(self) -> int:
+        import os
+        d = self._log_seq_dir()
+        if not os.path.isdir(d):
+            return 0
+        names = [n for n in os.listdir(d) if n.isdigit()]
+        return max((int(n) for n in names), default=0)
+
+    def _advance_log_seq(self, new_last: int) -> None:
+        import os
+        d = self._log_seq_dir()
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, f"{new_last:020d}"), "w").close()
+
+    def _append_log(self, hits: List[str]) -> None:
+        last = self._last_log_seq()
         pdf = pd.DataFrame({
             "seq_id": np.arange(last + 1, last + 1 + len(hits), dtype=np.int64),
             "ts": pd.Timestamp.now(tz="UTC"),
@@ -367,16 +417,39 @@ class SearchEngine:
         })
         df = self.spark.createDataFrame(
             pdf, "seq_id long, ts timestamp, token string, size int")
-        df.write.mode("append").parquet(self.cat.table_path("query_log"))
-        self._set_meta_kv("log_last_seq", last + len(hits))
+        df.coalesce(1).write.mode("append").parquet(
+            self.cat.table_path("query_log"))
+        self._advance_log_seq(last + len(hits))
+
+    def _log_hits(self, tokens: Sequence[str], meta: Dict[str, dict]) -> None:
+        """Append (token, 1) per query-token occurrence with ≥1 hit
+        (inverted_index.py:107-109; duplicates in one query each log)."""
+        hits = [t for t in tokens if t in meta]
+        if hits:
+            self._append_log(hits)
+
+    def log_query_tokens(self, tokens_df: DataFrame) -> int:
+        """Batch-log a DataFrame of query tokens (column ``token``) in
+        ONE job: semi-join ``token_dict`` keeps tokens with ≥1 hit
+        (the reference's per-query hit check), then a single parquet
+        append. Returns the number of rows logged."""
+        hits = (tokens_df.select(F.col("token").cast("string"))
+                .join(self.token_dict.select(F.col("term").alias("token")),
+                      "token", "left_semi"))
+        rows = [r["token"] for r in hits.orderBy("token").collect()]
+        if rows:
+            self._append_log(rows)
+        return len(rows)
 
     def aggregate_frequency(self) -> None:
         """Incremental: log rows past the stored offset are summed into
-        token_freq; offset and aggregate commit together
-        (inverted_index.py:121-128 made idempotent)."""
+        a NEW versioned token_freq table; the table pointer and the
+        offset advance in ONE manifest commit (inverted_index.py:121-128
+        made idempotent — a crash before the commit leaves an orphan
+        directory, never a double count)."""
         kv = self._meta_kv()
         offset = kv.get("freq_offset", 0)
-        last = kv.get("log_last_seq", 0)
+        last = self._last_log_seq()
         if last <= offset:
             return
         log_path = self.cat.table_path("query_log")
@@ -391,16 +464,19 @@ class SearchEngine:
         old = self._read_token_freq()
         merged = new if old is None else (
             old.unionByName(new).groupBy("term").agg(F.sum("freq").alias("freq")))
-        out = self.cat.table_path("token_freq")
-        tmp = out + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(out)
-        self._set_meta_kv("freq_offset", last)
+        version = int(kv.get("freq_version", 0)) + 1
+        out = f"token_freq_v{version:06d}"
+        merged.write.mode("overwrite").parquet(self.cat.table_path(out))
+        self._set_meta_kvs({"freq_offset": last,
+                            "freq_version": version,
+                            "token_freq_table": out})
 
     def _read_token_freq(self) -> Optional[DataFrame]:
         import os
-        path = self.cat.table_path("token_freq")
+        table = self._meta_kv().get("token_freq_table")
+        if table is None:
+            return None
+        path = self.cat.table_path(table)
         if not os.path.exists(path):
             return None
         return self.spark.read.parquet(path)
@@ -409,9 +485,10 @@ class SearchEngine:
         m = self.cat.read_manifest() or {}
         return m.get("kv", {})
 
-    def _set_meta_kv(self, key: str, value) -> None:
+    def _set_meta_kvs(self, updates: dict) -> None:
+        """Atomic multi-key kv commit (one manifest swap)."""
         m = self.cat.read_manifest() or {}
-        m.setdefault("kv", {})[key] = value
+        m.setdefault("kv", {}).update(updates)
         self.cat.commit_manifest(m)
 
     # -- point / range / multi gets (S5-S8) ----------------------------------
