@@ -93,16 +93,51 @@ def _engine_bm25(spark: SparkSession, sf_dir: str, terms, k=10) -> DataFrame:
     )
 
 
-def _engine_boolean(spark: SparkSession, sf_dir: str, terms, mode) -> DataFrame:
-    from .query import SearchEngine
-    root = _engine_root(spark, sf_dir)
-    eng = SearchEngine(spark, root)
-    res = eng.search(terms, mode, log=False)
+def _map_orig_ids(eng, res: DataFrame) -> DataFrame:
+    """Engine doc ids → the original documents.doc_id (dedup winners)."""
     mapping = eng.docs.select(
         F.col("doc_id").alias("_eid"),
         F.regexp_replace("conv_id", "conv-", "").cast("long").alias("orig_id"))
     return (res.join(mapping, res.doc_id == mapping._eid)
             .select(F.col("orig_id").alias("doc_id")).orderBy("doc_id"))
+
+
+def _engine_boolean(spark: SparkSession, sf_dir: str, terms, mode) -> DataFrame:
+    from .query import SearchEngine
+    root = _engine_root(spark, sf_dir)
+    eng = SearchEngine(spark, root)
+    return _map_orig_ids(eng, eng.search(terms, mode, log=False))
+
+
+def _engine_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(spark OR vector) AND join — through SearchEngine.search_complex
+    (reference index.py:413-429), not a SQL re-expression."""
+    from .query import ComplexRequest, SearchEngine, SearchRequest
+    root = _engine_root(spark, sf_dir)
+    eng = SearchEngine(spark, root)
+    req = ComplexRequest(SearchRequest(["spark", "vector"], "or"),
+                         SearchRequest(["join"], "or"), "and")
+    return _map_orig_ids(eng, eng.search_complex(req, log=False))
+
+
+def _engine_frequency(spark: SparkSession, sf_dir: str, prefix: str,
+                      k: int) -> DataFrame:
+    """Q7 through the real engine: seed the query log with the first
+    whitespace token of each document with doc_id < 200 (deterministic,
+    data-derived — NOT a literal fixture), fold the log into token_freq
+    (Q9 aggregation), then top-k by frequency under the prefix via the
+    token_dict decomposed-prefix scan. Seeding is idempotent: it only
+    runs while the memoized index root's log is empty."""
+    from .query import SearchEngine
+    root = _engine_root(spark, sf_dir)
+    eng = SearchEngine(spark, root)
+    if eng._last_log_seq() == 0:
+        toks = (_read(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 200)
+                .select(F.element_at(_tokens_col(), 1).alias("token")))
+        eng.log_query_tokens(toks)
+        eng.aggregate_frequency()
+    return eng.search_by_frequency_df(prefix, k)
 
 
 _DUCK_BM25 = """
@@ -208,33 +243,25 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q3_and_search_engine"] = lambda s, d: _engine_boolean(
         s, d, ["spark", "vector", "window"], "and")
 
-    # -- phrase (Q4): ordered first-occurrence, SQL-expressible -------------
-    def q4(s, d):
-        docs = _read(s, d, "documents").withColumn("toks", _tokens_col())
-        pa = F.array_position("toks", "fast")
-        pb = F.array_position("toks", "window")
-        return (docs.filter((pa > 0) & (pb > 0) & (pa <= pb))
-                .select("doc_id", pa.alias("pos_a").cast("long"),
-                        pb.alias("pos_b").cast("long"))
-                .orderBy("doc_id"))
-    q["q4_phrase_ordered"] = q4
+    # -- phrase (Q4) through the REAL engine: AND + ordered
+    # first-occurrence over docs.first_pos (reference index.py:432-448)
+    q["q4_phrase_ordered"] = lambda s, d: _engine_boolean(
+        s, d, ["fast", "window"], "phrase")
 
-    # -- complex search (Q5): (a OR b) AND c --------------------------------
-    def q5(s, d):
-        ex = _exploded_terms(s, d)
-        ab = ex.filter(F.col("term").isin(["spark", "vector"])) \
-               .select("doc_id").distinct()
-        c = ex.filter(F.col("term") == "join").select("doc_id").distinct()
-        return ab.intersect(c).orderBy("doc_id")
-    q["q5_complex_search"] = q5
+    # -- complex search (Q5) through the REAL engine: recursive set algebra
+    q["q5_complex_search"] = _engine_complex
 
-    # -- suggestions / frequency (Q6/Q7) ------------------------------------
-    q["q6_prefix_suggestions"] = lambda s, d: (
-        _exploded_terms(s, d).filter(F.col("term").startswith("s"))
-        .select("term").distinct().orderBy("term"))
-    q["q7_topk_frequency"] = lambda s, d: (
-        _exploded_terms(s, d).groupBy("term").agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("term")).limit(5))
+    # -- suggestions (Q6) through the REAL engine: token_dict
+    # decomposed-prefix range scan (replaces the reference trie walk)
+    def q6(s, d):
+        from .query import SearchEngine
+        eng = SearchEngine(s, _engine_root(s, d))
+        return eng.search_suggestions_df("s")
+    q["q6_prefix_suggestions"] = q6
+
+    # -- frequency (Q7) through the REAL engine: seeded query log →
+    # incremental aggregation → prefix top-k (trie.py:200-216 surface)
+    q["q7_topk_frequency"] = lambda s, d: _engine_frequency(s, d, "s", 5)
 
     # -- incremental aggregation (Q9) ----------------------------------------
     q["q9_incremental_agg"] = lambda s, d: (
@@ -311,7 +338,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         from .ops.dedup import simhash_near_pairs
         docs = _read(s, d, "documents")
         return simhash_near_pairs(docs, max_hamming=3)
-    q["d5_simhash_pairs"] = simhash_pairs  # rows-only (bit sketch)
+    q["d5_simhash_pairs"] = simhash_pairs
 
     # -- similarity search ----------------------------------------------------
     def cos_topk(s, d):
@@ -335,15 +362,17 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         from .ops.similarity import ann_lsh_pairs
         emb = _read(s, d, "embeddings")
         dim = len(emb.select("embedding").first()["embedding"])
-        return ann_lsh_pairs(emb, dim=dim, threshold=0.9)
-    q["v2_ann_lsh_pairs"] = ann_pairs  # rows-only (LSH)
+        # threshold 0.25: the synthetic embeddings' max pairwise cosine
+        # is ~0.51 (p99 ~0.29) — 0.9 returns zero rows (vacuous)
+        return ann_lsh_pairs(emb, dim=dim, threshold=0.25)
+    q["v2_ann_lsh_pairs"] = ann_pairs
 
     def ivf(s, d):
         from .ops.similarity import ivf_topk
         emb = _read(s, d, "embeddings")
         qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]
         return ivf_topk(emb, [float(x) for x in qv], k=5)
-    q["v3_ivf_topk"] = ivf  # rows-only (approximate by design)
+    q["v3_ivf_topk"] = ivf
 
     # -- text analysis ---------------------------------------------------------
     q["t1_token_counts"] = lambda s, d: (
@@ -372,6 +401,30 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))),
                                        r"\s+", " ")).alias("fp_norm"))
         .orderBy("doc_id"))
+
+    # -- multimodal plumbing (m1): binary payload column → Arrow-batched
+    # feature extraction via the real mapInPandas decode stage (the
+    # decode itself is the documented deterministic stub — sha256-derived
+    # features — so the whole pipeline is value-checkable in SQL)
+    def media_features(s, d):
+        from .ops.multimodal import extract_features
+        docs = _read(s, d, "documents").filter(F.col("doc_id") < 60)
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 3 == 0, "image")
+             .when(F.col("doc_id") % 3 == 1, "audio")
+             .otherwise("video").alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"))
+        feats = extract_features(media, decoder="fake")
+        fsum = F.aggregate(F.col("feature").cast("array<double>"),
+                           F.lit(0.0), lambda a, b: a + b)
+        return (feats.select(
+            "media_id", "kind", "n_bytes",
+            F.round(F.element_at("feature", 1) * 255).cast("int").alias("f0"),
+            F.round(F.element_at("feature", 32) * 255).cast("int").alias("f31"),
+            F.round(fsum * 255).cast("long").alias("fsum"))
+            .orderBy("media_id"))
+    q["m1_media_features"] = media_features
 
     return q
 
@@ -427,17 +480,21 @@ def oracle_sql() -> Dict[str, str]:
         tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM uniq)
         SELECT doc_id FROM tok WHERE term IN ('spark', 'vector', 'window')
         GROUP BY doc_id HAVING count(DISTINCT term) = 3 ORDER BY doc_id"""
+    # q4-q7 oracles replicate the ENGINE path (index over the deduped
+    # corpus; whitespace tokens == engine tokens on this corpus — pure
+    # lowercase-ASCII words pass the tokenizer through whole, so the
+    # morph-stream first occurrences coincide with list_position)
     o["q4_phrase_ordered"] = f"""
-        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
-        SELECT doc_id, list_position(toks, 'fast')::BIGINT AS pos_a,
-               list_position(toks, 'window')::BIGINT AS pos_b
-        FROM t
+        WITH uniq AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM uniq)
+        SELECT doc_id FROM t
         WHERE coalesce(list_position(toks, 'fast'), 0) > 0
           AND coalesce(list_position(toks, 'window'), 0) > 0
           AND list_position(toks, 'fast') <= list_position(toks, 'window')
         ORDER BY doc_id"""
     o["q5_complex_search"] = f"""
-        WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents)
+        WITH uniq AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM uniq)
         SELECT DISTINCT doc_id FROM tok WHERE term IN ({terms_sv})
         INTERSECT
         SELECT DISTINCT doc_id FROM tok WHERE term = 'join'
@@ -445,10 +502,16 @@ def oracle_sql() -> Dict[str, str]:
     o["q6_prefix_suggestions"] = f"""
         WITH tok AS (SELECT unnest({_DUCK_TOKS}) AS term FROM documents)
         SELECT DISTINCT term FROM tok WHERE term LIKE 's%' ORDER BY term"""
+    # q7: the engine seeds its query log with the first token of each
+    # doc_id < 200 document, aggregates, then prefix top-k — freq(t) =
+    # #docs<200 whose first token is t
     o["q7_topk_frequency"] = f"""
-        WITH tok AS (SELECT unnest({_DUCK_TOKS}) AS term FROM documents)
-        SELECT term, count(*) AS freq FROM tok
-        GROUP BY term ORDER BY freq DESC, term LIMIT 5"""
+        WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+                   WHERE doc_id < 200),
+        f AS (SELECT toks[1] AS term, count(*)::BIGINT AS freq FROM d
+              WHERE toks[1] IS NOT NULL GROUP BY 1)
+        SELECT term, freq FROM f WHERE term LIKE 's%'
+        ORDER BY freq DESC, term LIMIT 5"""
     o["q9_incremental_agg"] = (
         "SELECT event_type, count(*) AS n, round(sum(value), 4) AS total "
         "FROM events WHERE event_id > 500 GROUP BY event_type")
@@ -546,6 +609,98 @@ def oracle_sql() -> Dict[str, str]:
         JOIN sizes sa ON sa.doc_id = i.id_a
         JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE i.i::DOUBLE / (sa.n_sh + sb.n_sh - i.i) >= 0.5"""
+    # d5: SimHash is md5-based and the pigeonhole banding covers all 60
+    # bits, so the op's result is EXACTLY all pairs at Hamming ≤ 3 —
+    # expressible as all-pairs over SQL-computed signatures
+    sh2 = _duck_shingles.format(n=2, nm1=1,
+                                concat="toks[i+1] || ' ' || toks[i+2]")
+    o["d5_simhash_pairs"] = f"""
+        WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, {sh2} AS s FROM d),
+        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS hv
+              FROM ex),
+        v AS (SELECT doc_id, r.range AS j,
+                     sum(CASE WHEN (hv >> r.range) & 1 = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM h CROSS JOIN range(60) r GROUP BY doc_id, r.range),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN vote > 0 THEN (1::BIGINT << j)
+                                ELSE 0 END)::BIGINT AS simhash
+                FROM v GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+    # v2/v3: md5-parity hyperplane weights — identical expression to
+    # konlspark.ops.similarity._hyperplane_sign
+    def _duck_bit(p, dim):
+        return (f"CASE WHEN list_dot_product(v, list_transform(range({dim}),"
+                f" i -> CASE WHEN ('0x'||substr(md5('{p}:'||i),1,1))::INT % 2"
+                f" = 1 THEN 1.0 ELSE -1.0 END)) >= 0 THEN 1 ELSE 0 END")
+
+    bit_cols = ",\n          ".join(
+        f"{_duck_bit(p, 64)} AS bit{p}" for p in range(16))
+    band_cols = ", ".join(
+        "(" + " || ".join((f"bit{b*4+r}::VARCHAR" if r == 0 else f"bit{b*4+r}")
+                          for r in range(4)) + f") AS b{b}"
+        for b in range(4))
+    band_match = " OR ".join(f"(a.b{b} = b.b{b})" for b in range(4))
+    o["v2_ann_lsh_pairs"] = f"""
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        bits AS (SELECT id, v,
+          {bit_cols}
+          FROM e),
+        sig AS (SELECT id, {band_cols} FROM bits),
+        cands AS (SELECT a.id AS id_a, b.id AS id_b
+                  FROM sig a JOIN sig b ON a.id < b.id AND ({band_match})),
+        n AS (SELECT id, list_transform(v, x -> x /
+                greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS nv FROM e)
+        SELECT c.id_a, c.id_b,
+               round(list_dot_product(na.nv, nb.nv), 6) AS cos
+        FROM cands c
+        JOIN n na ON na.id = c.id_a
+        JOIN n nb ON nb.id = c.id_b
+        WHERE round(list_dot_product(na.nv, nb.nv), 6) >= 0.25"""
+
+    cell_bits = ",\n          ".join(
+        f"{_duck_bit(p, 64)} AS bit{p}" for p in range(4))
+    o["v3_ivf_topk"] = f"""
+        WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        bits AS (SELECT id, v,
+          {cell_bits}
+          FROM e),
+        c AS (SELECT id, v,
+                     (bit0::VARCHAR || bit1 || bit2 || bit3) AS cell FROM bits),
+        q AS (SELECT v AS qv, cell AS qcell FROM c WHERE id = 7)
+        SELECT c.id,
+               round(list_dot_product(c.v, q.qv)
+                     / (greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12)
+                        * greatest(sqrt(list_dot_product(q.qv, q.qv)), 1e-12)),
+                     6) AS cos
+        FROM c CROSS JOIN q
+        WHERE c.cell = q.qcell
+        ORDER BY cos DESC, id LIMIT 5"""
+
+    # m1: the multimodal stub's features are sha256-derived bytes —
+    # byte i of sha256(payload) is hex chars [2i+1, 2i+2]
+    o["m1_media_features"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+                 sha256(text) AS h,
+                 octet_length(encode(text))::BIGINT AS n_bytes
+          FROM documents WHERE doc_id < 60)
+        SELECT media_id, kind, n_bytes,
+               ('0x' || substr(h, 1, 2))::INT AS f0,
+               ('0x' || substr(h, 63, 2))::INT AS f31,
+               list_sum(list_transform(range(0, 32),
+                 i -> ('0x' || substr(h, 2*i+1, 2))::BIGINT))::BIGINT AS fsum
+        FROM m ORDER BY media_id"""
+
     o["v1_cosine_topk"] = """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7)
         SELECT vec_id AS id,

@@ -240,12 +240,13 @@ class SearchEngine:
             cond = cond & (F.col(f"_p{i}") <= F.col(f"_p{i+1}"))
         return joined.filter(cond).select("doc_id").orderBy("doc_id")
 
-    def search_complex(self, req: Union[ComplexRequest, SearchRequest]) -> DataFrame:
+    def search_complex(self, req: Union[ComplexRequest, SearchRequest],
+                       log: bool = True) -> DataFrame:
         """Recursive AND/OR set algebra over sub-searches (index.py:413-429)."""
         if isinstance(req, SearchRequest):
-            return self.search(req.tokens, req.mode)
-        r1 = self.search_complex(req.condition1)
-        r2 = self.search_complex(req.condition2)
+            return self.search(req.tokens, req.mode, log=log)
+        r1 = self.search_complex(req.condition1, log=log)
+        r2 = self.search_complex(req.condition2, log=log)
         if req.mode == "and":
             return r1.intersect(r2).orderBy("doc_id")
         return r1.union(r2).distinct().orderBy("doc_id")
