@@ -98,6 +98,13 @@ def main() -> None:
             ["마법", "특별"], k=10, use_wand=False).collect())
         timed("q10_bm25_3term", lambda: eng.bm25_topk(
             ["spark", "query", "index"], k=10, use_wand=True).collect())
+        # single-term: the case where block-max pruning genuinely fires
+        # (k-th block max kills ~98% of blocks); the pair below is the
+        # wand<=exact guard the gate is tuned against
+        timed("q10_bm25_1term_wand", lambda: eng.bm25_topk(
+            ["마법"], k=10, use_wand=True).collect())
+        timed("q10_bm25_1term_exact", lambda: eng.bm25_topk(
+            ["마법"], k=10, use_wand=False).collect())
         timed("q2_or_search", lambda: eng.search(
             ["같은", "비스크"], "or", log=False).collect())
         timed("q3_and_search", lambda: eng.search(
@@ -118,6 +125,11 @@ def main() -> None:
         n_q = sum(1 for k in timings if k.startswith("q"))
         extras["search_queries_per_sec"] = (
             round(n_q / q_total, 3) if q_total else 0.0)
+        # guard: pruned path must not lose to exact where the gate fires
+        extras["wand_le_exact"] = bool(
+            timings["q10_bm25_wand"] <= timings["q10_bm25_exact"] * 1.15
+            and timings["q10_bm25_1term_wand"]
+                <= timings["q10_bm25_1term_exact"] * 1.15)
 
     total = time.time() - t_start
     out = {

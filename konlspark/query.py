@@ -15,11 +15,15 @@ plans:
   monotonicity over ``docs.first_pos`` (reference ``index.py:432-448``),
   complex = recursive set algebra (``index.py:413-429``);
 - BM25 top-k with lossless block-max pruning (MaxScore/BMW-style):
-  a first pass over the rarest term's postings sets a lower-bound
-  threshold τ; a block of term t survives iff
+  one metadata-only pass over the candidate blocks (no posting decode)
+  yields σ per term and a lower-bound threshold τ (the per-term k-th
+  largest block max — k doc-disjoint blocks exhibit k docs scoring at
+  least it); a block of term t survives iff
   ``block_max_score(B) + Σ_{t'≠t} σ_{t'} ≥ τ`` — every doc with true
   score ≥ τ has *all* its blocks decoded, so the final top-k and its
-  scores are exact (verified against the unpruned path in tests).
+  scores are exact (verified against the unpruned path in tests). A
+  driver-side gate skips the pruning job when it provably cannot pay
+  (symmetric multi-term queries — see ``bm25_topk``).
 """
 
 from __future__ import annotations
@@ -266,11 +270,29 @@ class SearchEngine:
         idf = {t: bm25_idf(self.n_docs, m["df"]) for t, m in meta.items()}
         blocks = self._blocks_for(meta)
 
-        # block-max pruning pays off when there is real decode work to
-        # skip; below ~100k candidate postings the two extra driver
-        # round-trips (σ agg + τ pass) cost more than they save
+        # Block-max pruning gate — two free driver-side checks:
+        # (1) enough decode work to skip (the one metadata job costs a
+        #     fixed fraction of a second; below wand_min_postings the
+        #     exact decode is already cheaper);
+        # (2) the query is PRUNABLE at all. In the batch formulation the
+        #     static τ can only prune blocks of the τ-setting term
+        #     (τ ≤ σ_max, so for any other term t, Σ_{t'≠t}σ_{t'} ≥ τ
+        #     already keeps every block). Single-term queries prune
+        #     superbly (τ = k-th block max kills everything below it);
+        #     multi-term queries prune only when one idf dominates the
+        #     others' combined by ~the block-weight spread (≥2×) — and
+        #     then only the dominant (rare) term's own blocks.
+        #     Symmetric common-term queries provably prune nothing:
+        #     skip the metadata job entirely (lossless either way).
+        #     (Doc-at-a-time WAND's multi-term wins come from a GROWING
+        #     threshold over a sequential traversal — inherently
+        #     serial; the distributed analogue keeps only the static
+        #     bound, so we spend the job only where it can pay.)
         total_df = sum(m["df"] for m in meta.values())
-        if (use_wand and self.wand_safe and mode == "or" and len(meta) > 1
+        idf_max = max(idf.values())
+        prunable = (len(idf) == 1
+                    or idf_max >= 2.0 * (sum(idf.values()) - idf_max))
+        if (use_wand and self.wand_safe and mode == "or" and prunable
                 and total_df >= wand_min_postings):
             blocks = self._wand_prune(blocks, meta, idf, k)
 
@@ -290,41 +312,50 @@ class SearchEngine:
 
     def _wand_prune(self, blocks: DataFrame, meta: Dict[str, dict],
                     idf: Dict[str, float], k: int) -> DataFrame:
-        """Lossless block-max pruning.
+        """Lossless block-max pruning — metadata only, ONE extra job.
 
-        σ_t = max block score of term t (one tiny metadata agg — no
-        decode). τ = k-th best single-term score from the rarest term's
-        postings (decoded; cheapest term by df). Keep block B of term t
-        iff ub(B) + Σ_{t'≠t} σ_{t'} ≥ τ: every doc with true score ≥ τ
-        survives in *all* its blocks (score exact); pruned docs have
-        true score < τ and cannot displace the top-k.
+        One pass over the candidate blocks' METADATA rows (term +
+        block_max_w — never a posting decode) yields both bounds:
+
+        - σ_t = idf_t · max block weight of term t;
+        - τ   = max over terms of idf_t · (k-th largest block weight of
+          t). Valid lower bound on the k-th best full score: every
+          block's max weight is achieved by ≥1 doc, and one term's
+          blocks are doc-disjoint, so a term with ≥k blocks exhibits k
+          distinct docs whose full BM25 score is ≥ its k-th block max.
+
+        Keep block B of term t iff ub(B) + Σ_{t'≠t} σ_{t'} ≥ τ: every
+        doc with true score ≥ τ survives in *all* its blocks (score
+        exact); pruned docs have true score < τ and cannot displace the
+        top-k. The per-term k-th largest uses a row_number window over
+        metadata rows only (~df/block_size rows per term).
         """
-        # per-term max block score (metadata only)
-        sigma_rows = (
-            blocks.groupBy("term").agg(F.max("block_max_w").alias("mw")).collect()
+        from pyspark.sql import Window
+        w = Window.partitionBy("term").orderBy(
+            F.desc("block_max_w"), F.asc("block_seq"), F.asc("salt"))
+        stats = (
+            blocks.select("term", "salt", "block_seq", "block_max_w")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .groupBy("term").agg(F.max("block_max_w").alias("mw"),
+                                 F.count("*").alias("nb"),
+                                 F.min("block_max_w").alias("kth"))
+            .collect()
         )
-        sigma = {r["term"]: idf[r["term"]] * r["mw"] for r in sigma_rows}
-        if not sigma:
+        if not stats:
             return blocks
+        sigma = {r["term"]: idf[r["term"]] * r["mw"] for r in stats}
         sum_sigma = sum(sigma.values())
-        rarest = min(meta, key=lambda t: meta[t]["df"])
-        tau_rows = (
-            self._decode(blocks.filter(F.col("term") == rarest),
-                         {rarest: idf[rarest]})
-            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-            .select("score").collect()
-        )
-        if len(tau_rows) < k:
-            return blocks  # not enough candidates to bound → no pruning
-        tau = tau_rows[-1]["score"]
+        taus = [idf[r["term"]] * r["kth"] for r in stats if r["nb"] >= k]
+        if not taus:
+            return blocks  # no term has k blocks → nothing provable
+        tau = max(taus)
         # map term → σ_others = sum_sigma - σ_t  (tiny broadcastable map)
-        others = [(t, sum_sigma - s) for t, s in sigma.items()]
-        others_df = self.spark.createDataFrame(others, "term string, sig_others double")
-        idf_df = self.spark.createDataFrame(list(idf.items()),
-                                            "term string, idf double")
+        others = [(t, sum_sigma - s, idf[t]) for t, s in sigma.items()]
+        others_df = self.spark.createDataFrame(
+            others, "term string, sig_others double, idf double")
         return (
             blocks.join(F.broadcast(others_df), "term")
-            .join(F.broadcast(idf_df), "term")
             .filter(F.col("idf") * F.col("block_max_w") + F.col("sig_others")
                     >= F.lit(tau))
             .drop("sig_others", "idf")

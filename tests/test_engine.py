@@ -163,6 +163,27 @@ def test_zipf_bm25_parity_and_wand_lossless(zeng, zipf_oracle):
             assert abs(a - b) < 1e-12, q
 
 
+def test_wand_prune_actually_prunes(zeng):
+    """The metadata-only pruning pass must DROP blocks for a head
+    single-term query (k-th block max bound) and stay lossless —
+    guards against a gate regression making the lossless test vacuous."""
+    from konlspark.oracle import bm25_idf
+    term = "마법"
+    meta = zeng._term_meta([term])
+    assert meta[term]["df"] >= 64 * 10, "fixture head term too small"
+    idf = {term: bm25_idf(zeng.n_docs, meta[term]["df"])}
+    blocks = zeng._blocks_for(meta)
+    pruned = zeng._wand_prune(blocks, meta, idf, 10)
+    n_all, n_kept = blocks.count(), pruned.count()
+    assert n_kept < n_all  # pruning fired
+    exact = [(r["doc_id"], round(r["score"], 9)) for r in
+             zeng.bm25_topk([term], k=10, use_wand=False).collect()]
+    wand = [(r["doc_id"], round(r["score"], 9)) for r in
+            zeng.bm25_topk([term], k=10, use_wand=True,
+                           wand_min_postings=0).collect()]
+    assert wand == exact
+
+
 def test_zipf_bm25_and_mode(zeng, zipf_oracle):
     q = ["마법", "특별"]
     got = [(r["doc_id"], r["score"]) for r in
