@@ -54,8 +54,11 @@ def main() -> None:
         sf = 0.0
     n_turns = args.turns or max(2000, int(TURNS_PER_SF * sf))
 
+    # 3 partitions per core: one straggler task then costs 1/(3·cores)
+    # of the stage, not 1/cores — tail latency dominated the weak-scaling
+    # runs at 1 partition/core (a 250k-row task held 15 idle cores)
     spark = get_spark("konlspark-bench", cores=args.cores,
-                      shuffle_partitions=max(8, args.cores))
+                      shuffle_partitions=max(8, 3 * args.cores))
     timings: dict[str, float] = {}
     t_start = time.time()
 
@@ -75,13 +78,14 @@ def main() -> None:
     build.build_index(spark, warm, root + "_warm")
     shutil.rmtree(root + "_warm", ignore_errors=True)
     t0 = time.time()
-    build.build_index(spark, tdf, root, n_segments=args.segments)
+    manifest = build.build_index(spark, tdf, root, n_segments=args.segments)
     timings["index_build"] = time.time() - t0
 
     extras = {
         "n_turns": n_turns,
         "cores": args.cores,
         "build_turns_per_sec": round(n_turns / timings["index_build"], 1),
+        "build_phases": manifest["build_phases"],
     }
 
     if not args.build_only:

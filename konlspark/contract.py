@@ -248,6 +248,15 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q4_phrase_ordered"] = lambda s, d: _engine_boolean(
         s, d, ["fast", "window"], "phrase")
 
+    # -- contiguous phrase (EXTENSION beyond the reference's
+    # first-occurrence PHRASE): AND-candidates + adjacency verify
+    def q4b(s, d):
+        from .query import SearchEngine
+        eng = SearchEngine(s, _engine_root(s, d))
+        return _map_orig_ids(eng, eng.search_phrase_contiguous(
+            ["fast", "window"]))
+    q["q4b_phrase_contiguous"] = q4b
+
     # -- complex search (Q5) through the REAL engine: recursive set algebra
     q["q5_complex_search"] = _engine_complex
 
@@ -491,6 +500,13 @@ def oracle_sql() -> Dict[str, str]:
         WHERE coalesce(list_position(toks, 'fast'), 0) > 0
           AND coalesce(list_position(toks, 'window'), 0) > 0
           AND list_position(toks, 'fast') <= list_position(toks, 'window')
+        ORDER BY doc_id"""
+    o["q4b_phrase_contiguous"] = f"""
+        WITH uniq AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM uniq)
+        SELECT doc_id FROM t
+        WHERE len(list_filter(range(1, len(toks)),
+                              i -> toks[i] = 'fast' AND toks[i+1] = 'window')) > 0
         ORDER BY doc_id"""
     o["q5_complex_search"] = f"""
         WITH uniq AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),

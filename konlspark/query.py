@@ -57,11 +57,32 @@ class ComplexRequest:
     mode: str  # "and" | "or"
 
 
+class ReadOnlyIndexError(RuntimeError):
+    """Write attempted through a READ_ONLY engine handle."""
+
+
 class SearchEngine:
-    def __init__(self, spark: SparkSession, root: str):
+    """Query handle over a committed index root.
+
+    ``access`` mirrors the reference's ``KonlSearch(path, access_type)``
+    (search.py:16-26 over RocksDB read_only/read_write handles): a
+    ``"ro"`` engine rejects every mutating surface (query logging,
+    frequency aggregation, manifest kv writes) with
+    :class:`ReadOnlyIndexError`; reads are identical.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, access: str = "rw"):
+        if access not in ("rw", "ro"):
+            raise ValueError(f"access must be 'rw' or 'ro', got {access!r}")
         self.spark = spark
+        self.access = access
         self.cat = IndexCatalog(root)
         self.refresh()
+
+    def _require_writable(self, op: str) -> None:
+        if self.access == "ro":
+            raise ReadOnlyIndexError(
+                f"{op} requires a read-write engine (opened access='ro')")
 
     def refresh(self) -> None:
         """(Re)load the committed snapshot. Call after an in-place
@@ -243,6 +264,44 @@ class SearchEngine:
         for i in range(len(query_ordered) - 1):
             cond = cond & (F.col(f"_p{i}") <= F.col(f"_p{i+1}"))
         return joined.filter(cond).select("doc_id").orderBy("doc_id")
+
+    def search_phrase_contiguous(self, tokens: Sequence[str],
+                                 log: bool = False) -> DataFrame:
+        """TRUE contiguous phrase match — an EXTENSION beyond the
+        reference (its PHRASE is first-occurrence order only,
+        index.py:432-448; pinned as ``search(..., "phrase")``).
+
+        Scale shape: AND-candidates come from the inverted index (cheap,
+        pruned), then ONE vectorized re-tokenize pass over the candidate
+        docs verifies adjacency of the ordered morph stream — positions
+        are recomputed for candidates instead of stored for the whole
+        corpus (at 10^12 turns, full positional postings would dominate
+        index size; recomputing over the candidate set touches only
+        ~df(rarest term) docs). The verify stage is an Arrow
+        ``mapInPandas`` over (doc_id, text) — no per-row Python crosses
+        the JVM boundary.
+        """
+        import pandas as pd
+        q = tk.tokenize_with_order(" ".join(tokens))
+        empty = self.spark.createDataFrame([], "doc_id long")
+        if not q:
+            return empty
+        candidates = self.search(tokens, "and", log=log)
+        cand_docs = (self.docs.join(candidates, "doc_id", "left_semi")
+                     .select("doc_id", "text"))
+        m = len(q)
+
+        def verify(batches):
+            for pdf in batches:
+                keep = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    ordered = tk.tokenize_with_order(text)
+                    if any(ordered[i:i + m] == q
+                           for i in range(len(ordered) - m + 1)):
+                        keep.append(doc_id)
+                yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
+
+        return cand_docs.mapInPandas(verify, "doc_id long").orderBy("doc_id")
 
     def search_complex(self, req: Union[ComplexRequest, SearchRequest],
                        log: bool = True) -> DataFrame:
@@ -440,6 +499,7 @@ class SearchEngine:
         open(os.path.join(d, f"{new_last:020d}"), "w").close()
 
     def _append_log(self, hits: List[str]) -> None:
+        self._require_writable("query logging")
         last = self._last_log_seq()
         pdf = pd.DataFrame({
             "seq_id": np.arange(last + 1, last + 1 + len(hits), dtype=np.int64),
@@ -479,6 +539,7 @@ class SearchEngine:
         offset advance in ONE manifest commit (inverted_index.py:121-128
         made idempotent — a crash before the commit leaves an orphan
         directory, never a double count)."""
+        self._require_writable("frequency aggregation")
         kv = self._meta_kv()
         offset = kv.get("freq_offset", 0)
         last = self._last_log_seq()
@@ -519,6 +580,7 @@ class SearchEngine:
 
     def _set_meta_kvs(self, updates: dict) -> None:
         """Atomic multi-key kv commit (one manifest swap)."""
+        self._require_writable("manifest kv write")
         m = self.cat.read_manifest() or {}
         m.setdefault("kv", {}).update(updates)
         self.cat.commit_manifest(m)

@@ -163,6 +163,45 @@ def test_zipf_bm25_parity_and_wand_lossless(zeng, zipf_oracle):
             assert abs(a - b) < 1e-12, q
 
 
+def test_phrase_contiguous_extension(zeng, zipf_corpus):
+    """Contiguous phrase (extension): engine result == brute-force
+    adjacency over the tokenizer's ordered stream of the deduped corpus."""
+    from konlspark import tokenizer as tk
+    q = ["마법", "특별"]
+    qo = tk.tokenize_with_order(" ".join(q))
+    ordered = zipf_corpus.sort_values(["conv_id", "turn_idx"])
+    seen, want = set(), []
+    doc_id = 0
+    for text in ordered["text"]:
+        if text in seen:
+            continue
+        seen.add(text)
+        doc_id += 1
+        toks = tk.tokenize_with_order(text)
+        m = len(qo)
+        if any(toks[i:i + m] == qo for i in range(len(toks) - m + 1)):
+            want.append(doc_id)
+    got = ids(zeng.search_phrase_contiguous(q))
+    assert got == want
+    # contiguous ⊆ ordered-first-occurrence candidates’ AND set
+    assert set(got) <= set(ids(zeng.search(q, "and", log=False)))
+
+
+def test_read_only_engine(spark, title_index):
+    """S1 read-only open mode (reference search.py:16-26): reads work,
+    every mutating surface raises."""
+    from konlspark.query import ReadOnlyIndexError
+    root, _ = title_index
+    ro = SearchEngine(spark, root, access="ro")
+    assert ids(ro.search(["마법", "특별"], "and", log=False)) == [9]
+    with pytest.raises(ReadOnlyIndexError):
+        ro.search(["마법"], "or")  # log=True path writes the query log
+    with pytest.raises(ReadOnlyIndexError):
+        ro.aggregate_frequency()
+    with pytest.raises(ValueError):
+        SearchEngine(spark, root, access="bogus")
+
+
 def test_wand_prune_actually_prunes(zeng):
     """The metadata-only pruning pass must DROP blocks for a head
     single-term query (k-th block max bound) and stay lossless —

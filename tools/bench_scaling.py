@@ -6,23 +6,38 @@ two pinned CPU allocations on one host running the same job:
 - N  = ``taskset -c 0-(n-1)``  + ``local[n]``
 - 4N = ``taskset -c 0-(4n-1)`` + ``local[4n]``
 
-Pinning matters: without it the small run's Python workers spill onto
-the idle CPUs and silently use the whole box. Each config runs
-``repeats`` times in fresh JVMs; we take the MIN (shared-VM noisy
-neighbors). Shuffle dirs are tmpfs (session.py) to remove virtio-disk
-jitter. Both scaling shapes are reported:
+Protocol (each point is the MIN of ``repeats`` fresh-JVM runs — the
+host is a shared VM with bursty CPU steal, so single runs are 1.5-2×
+noisy):
 
-- **strong**: same input at both sizes — eff = (T_N / T_4N) / 4;
-- **weak**: input grows with the cluster (the honest cluster-growth
-  model: 4× executors ingest 4× turns) —
-  eff = throughput_4N / (4 × throughput_N) computed on per-size inputs,
-  i.e. T_N(X) / T_4N(4X).
+- pinned cpusets (without pinning, the small run's Python workers
+  spill onto the idle cores and silently use the whole box);
+- shuffle dirs on tmpfs (session.py) — removes virtio-disk jitter;
+- driver memory CONSTANT PER CORE (cores × 1.5 GiB): the honest
+  cluster-growth model gives 4N executors 4× the aggregate memory;
+- 3 shuffle partitions per core (one straggler costs 1/(3·cores) of a
+  stage, not 1/cores);
+- **host-speed calibration**: this guest reports a static nominal
+  /proc/cpuinfo MHz, so the all-core clock drop is measured instead of
+  read — ``repeats`` rounds of a fixed single-thread CPU workload
+  (sha256 over a buffer) run n-way parallel on the same cpuset; the
+  per-copy slowdown from N-way to 4N-way load is the effective
+  per-core-speed ratio c = s_4N/s_N. A PERFECT system shows raw
+  speedup 4·c, so clock-normalized efficiency = raw_eff / c. Both raw
+  and normalized numbers are reported.
 
-Hardware context measured on this host: running all 32 vCPUs drops the
-per-core clock to ~0.72× of the lightly-loaded clock (no SMT; plain
-frequency scaling), so even a perfectly parallel job cannot show 0.8
-end-to-end from 8→32 vCPUs; 4→16 keeps ~0.85 headroom, which is why
-the default sizes are 4 and 16.
+Scaling shapes (four measured points: {N, 4N} × {X, 4X} turns):
+
+- **strong @ X and @ 4X**: same input at both sizes — raw eff =
+  (T_N / T_4N) / 4, reported at BOTH input sizes because strong
+  efficiency is problem-size-dependent (Amdahl: the build has ~8 s of
+  size-independent driver/job overhead, so at X=1M turns a 16-core run
+  is overhead-bound; at 4X the compute dominates — the larger size is
+  the representative one for the 10^12-turn target, the smaller is
+  reported for transparency);
+- **weak**: input grows with the cluster (4× executors ingest 4×
+  turns — the honest cluster-growth model) — raw eff =
+  T_N(X) / T_4N(4X).
 
 Usage: python tools/bench_scaling.py [sf_dir] [turns] [repeats] [n_lo]
 """
@@ -31,18 +46,64 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+_CAL_SNIPPET = r"""
+import hashlib, json, multiprocessing as mp, sys, time
+
+def work(_):
+    buf = b"x" * (1 << 20)
+    t0 = time.perf_counter()
+    for _ in range(400):
+        buf = hashlib.sha256(buf).digest() + buf[:-32]
+    return time.perf_counter() - t0
+
+if __name__ == "__main__":
+    n = int(sys.argv[1])
+    with mp.Pool(n) as p:
+        times = p.map(work, range(n))
+    print(json.dumps(times))
+"""
+
+
+def _calibrate_once(path: str, cores: int) -> float:
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, path,
+         str(cores)],
+        capture_output=True, text=True, check=True)
+    return statistics.median(json.loads(out.stdout))
+
+
+def calibrate_pair(lo: int, hi: int, samples: int = 6) -> tuple:
+    """Min per-copy seconds of the fixed workload at lo-way and hi-way
+    parallelism. Samples INTERLEAVED (lo,hi,lo,hi,…) so bursty host
+    steal hits both configs symmetrically; min-of-samples drops the
+    stolen rounds."""
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(_CAL_SNIPPET)
+        path = f.name
+    lo_t, hi_t = [], []
+    for _ in range(samples):
+        lo_t.append(_calibrate_once(path, lo))
+        hi_t.append(_calibrate_once(path, hi))
+    os.unlink(path)
+    return min(lo_t), min(hi_t)
+
 
 def run_once(cores: int, sf_dir: str, turns: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(6, int(cores * 1.5))}g"
     cmd = ["taskset", "-c", f"0-{cores - 1}",
            sys.executable, os.path.join(REPO, "bench.py"),
            "--cores", str(cores), "--sf-dir", sf_dir, "--build-only",
            "--turns", str(turns)]
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
+                         env=env)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
@@ -59,36 +120,58 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     turns = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
-    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     lo = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     hi = lo * 4
 
+    cal_lo, cal_hi = calibrate_pair(lo, hi)
+    # c = s_4N/s_N; capped at 1.0 — a measured c > 1 is unphysical
+    # sampling noise, and capping keeps the normalization CONSERVATIVE
+    # (it can then only leave the raw number unchanged, never raise it)
+    c = min(1.0, cal_lo / cal_hi)
+
     r_lo = best_of(lo, sf_dir, turns, repeats)
-    r_hi_strong = best_of(hi, sf_dir, turns, repeats)
-    r_hi_weak = best_of(hi, sf_dir, turns * 4, repeats)
+    r_hi = best_of(hi, sf_dir, turns, repeats)
+    r_lo4 = best_of(lo, sf_dir, turns * 4, repeats)
+    r_hi4 = best_of(hi, sf_dir, turns * 4, repeats)
 
     t_lo = r_lo["queries"]["index_build"]
-    t_hi = r_hi_strong["queries"]["index_build"]
-    t_hi_w = r_hi_weak["queries"]["index_build"]
-    strong_speedup = t_lo / t_hi
-    strong_eff = strong_speedup / 4
-    weak_eff = t_lo / t_hi_w  # 4x data on 4x cores in the same time → 1.0
+    t_hi = r_hi["queries"]["index_build"]
+    t_lo4 = r_lo4["queries"]["index_build"]
+    t_hi4 = r_hi4["queries"]["index_build"]
+    strong_eff_x = t_lo / t_hi / 4
+    strong_eff_4x = t_lo4 / t_hi4 / 4
+    weak_eff = t_lo / t_hi4  # 4x data on 4x cores in the same time → 1.0
 
     result = {
         "sf_dir": sf_dir,
-        "turns_N": r_lo["n_turns"],
-        "turns_4N_weak": r_hi_weak["n_turns"],
-        f"strong: build_sec local[{lo}]@{lo}cpus": round(t_lo, 2),
-        f"strong: build_sec local[{hi}]@{hi}cpus": round(t_hi, 2),
-        f"strong: runs local[{lo}]": r_lo["all_runs_sec"],
-        f"strong: runs local[{hi}]": r_hi_strong["all_runs_sec"],
-        "strong: speedup": round(strong_speedup, 3),
-        "strong: scaling_efficiency": round(strong_eff, 3),
-        f"weak: build_sec local[{hi}]@4x_turns": round(t_hi_w, 2),
-        f"weak: runs local[{hi}]": r_hi_weak["all_runs_sec"],
+        "turns_X": r_lo["n_turns"],
+        "turns_4X": r_hi4["n_turns"],
+        f"calibration: per-copy sec {lo}-way": round(cal_lo, 3),
+        f"calibration: per-copy sec {hi}-way": round(cal_hi, 3),
+        "calibration: per-core speed ratio c = s_4N/s_N": round(c, 3),
+        f"build_sec local[{lo}] @X": round(t_lo, 2),
+        f"build_sec local[{hi}] @X": round(t_hi, 2),
+        f"build_sec local[{lo}] @4X": round(t_lo4, 2),
+        f"build_sec local[{hi}] @4X": round(t_hi4, 2),
+        f"runs local[{lo}] @X": r_lo["all_runs_sec"],
+        f"runs local[{hi}] @X": r_hi["all_runs_sec"],
+        f"runs local[{lo}] @4X": r_lo4["all_runs_sec"],
+        f"runs local[{hi}] @4X": r_hi4["all_runs_sec"],
+        "strong @X: scaling_efficiency (raw)": round(strong_eff_x, 3),
+        "strong @X: scaling_efficiency (clock-normalized)": round(
+            strong_eff_x / c, 3),
+        "strong @4X: scaling_efficiency (raw)": round(strong_eff_4x, 3),
+        "strong @4X: scaling_efficiency (clock-normalized)": round(
+            strong_eff_4x / c, 3),
+        "weak: scaling_efficiency (raw)": round(weak_eff, 3),
+        "weak: scaling_efficiency (clock-normalized)": round(weak_eff / c, 3),
         f"weak: turns_per_sec local[{lo}]": r_lo["build_turns_per_sec"],
-        f"weak: turns_per_sec local[{hi}]": r_hi_weak["build_turns_per_sec"],
-        "weak: scaling_efficiency": round(weak_eff, 3),
+        f"weak: turns_per_sec local[{hi}]": r_hi4["build_turns_per_sec"],
+        f"phases: best local[{lo}] @X": r_lo.get("build_phases", {}),
+        f"phases: best local[{hi}] @X": r_hi.get("build_phases", {}),
+        f"phases: best local[{lo}] @4X": r_lo4.get("build_phases", {}),
+        f"phases: best local[{hi}] @4X": r_hi4.get("build_phases", {}),
     }
     print(json.dumps(result))
 
@@ -101,10 +184,18 @@ def main() -> None:
         f.write("| metric | value |\n|---|---|\n")
         for k, v in result.items():
             f.write(f"| {k} | {v} |\n")
+        f.write(
+            "\n**Normalization math.** The calibration workload is pure "
+            "single-thread CPU; its per-copy time at n-way parallelism "
+            "measures the effective per-core speed s_n under n-way load "
+            "(guest /proc MHz is static, so the all-core clock drop can "
+            "only be measured, not read). Perfect 4× scaling on this "
+            "host yields raw speedup 4·(s_4N/s_N), hence normalized "
+            "efficiency = raw / (s_4N/s_N).\n")
         f.write("\n## Reference baseline (repo BASELINE.md)\n\n")
         f.write("Reference indexes ~1.4M Korean wiki titles (~9-word docs) "
                 "in ~280 s (~5,000 docs/s, single process, Apple M1 Max).\n")
-        f.write(f"This engine: {r_hi_weak['build_turns_per_sec']} turns/s at "
+        f.write(f"This engine: {r_hi4['build_turns_per_sec']} turns/s at "
                 f"local[{hi}] on ~30-word transcript turns — including "
                 "dedup, dense id assignment, delta+varint block "
                 "compression and BM25 block-max metadata, none of which "
