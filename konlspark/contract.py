@@ -30,6 +30,15 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a small single-file scan across the cluster. The
+    driver tables are one parquet file with one row group → ONE input
+    partition, which would serialize every map-side expression (md5
+    shingling, minhash aggs) onto a single task. On a real cluster the
+    input arrives partitioned; this reproduces that shape locally."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _tokens_col(text=None):
     if text is None:
         text = F.col("text")
@@ -320,32 +329,32 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- dedup family (training-data ops) ------------------------------------
     def word_jaccard(s, d):
         from .ops.dedup import shingle_pairs_jaccard
-        docs = _read(s, d, "documents").filter(F.col("doc_id") < 40)
+        docs = _spread(_read(s, d, "documents").filter(F.col("doc_id") < 40))
         return shingle_pairs_jaccard(docs, n=1, threshold=0.3)
     q["d1_word_jaccard_pairs"] = word_jaccard
 
     def ngram_jaccard(s, d):
         from .ops.dedup import shingle_pairs_jaccard
-        docs = _read(s, d, "documents").filter(F.col("doc_id") < 80)
+        docs = _spread(_read(s, d, "documents").filter(F.col("doc_id") < 80))
         return shingle_pairs_jaccard(docs, n=3, threshold=0.01)
     q["d2_ngram_jaccard_pairs"] = ngram_jaccard
 
     def minhash_sig(s, d):
         from .ops.dedup import minhash_signatures
-        docs = _read(s, d, "documents").filter(F.col("doc_id") < 50)
+        docs = _spread(_read(s, d, "documents").filter(F.col("doc_id") < 50))
         return minhash_signatures(docs, n=3, n_hashes=2).orderBy("id")
     q["d3_minhash_signatures"] = minhash_sig
 
     def minhash_lsh(s, d):
         from .ops.dedup import minhash_lsh_pairs
-        docs = _read(s, d, "documents")
+        docs = _spread(_read(s, d, "documents"))
         return minhash_lsh_pairs(docs, n=3, n_hashes=16, bands=8,
                                  verify_threshold=0.5)
     q["d4_minhash_lsh_pairs"] = minhash_lsh  # rows-only (LSH banding)
 
     def simhash_pairs(s, d):
         from .ops.dedup import simhash_near_pairs
-        docs = _read(s, d, "documents")
+        docs = _spread(_read(s, d, "documents"))
         return simhash_near_pairs(docs, max_hamming=3)
     q["d5_simhash_pairs"] = simhash_pairs
 
@@ -369,7 +378,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_pairs(s, d):
         from .ops.similarity import ann_lsh_pairs
-        emb = _read(s, d, "embeddings")
+        emb = _spread(_read(s, d, "embeddings"))
         dim = len(emb.select("embedding").first()["embedding"])
         # threshold 0.25: the synthetic embeddings' max pairwise cosine
         # is ~0.51 (p99 ~0.29) — 0.9 returns zero rows (vacuous)
@@ -378,7 +387,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ivf(s, d):
         from .ops.similarity import ivf_topk
-        emb = _read(s, d, "embeddings")
+        emb = _spread(_read(s, d, "embeddings"))
         qv = emb.filter(F.col("vec_id") == 7).first()["embedding"]
         return ivf_topk(emb, [float(x) for x in qv], k=5)
     q["v3_ivf_topk"] = ivf
