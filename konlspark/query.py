@@ -338,19 +338,18 @@ class SearchEngine:
         #     (τ ≤ σ_max, so for any other term t, Σ_{t'≠t}σ_{t'} ≥ τ
         #     already keeps every block). Single-term queries prune
         #     superbly (τ = k-th block max kills everything below it);
-        #     multi-term queries prune only when one idf dominates the
-        #     others' combined by ~the block-weight spread (≥2×) — and
-        #     then only the dominant (rare) term's own blocks.
-        #     Symmetric common-term queries provably prune nothing:
-        #     skip the metadata job entirely (lossless either way).
-        #     (Doc-at-a-time WAND's multi-term wins come from a GROWING
-        #     threshold over a sequential traversal — inherently
-        #     serial; the distributed analogue keeps only the static
-        #     bound, so we spend the job only where it can pay.)
+        #     multi-term queries could prune only the τ-setting term's
+        #     own blocks, and only where idf_t·bmw(B) < τ − Σσ_others —
+        #     measured across idf-dominance regimes, block maxima of a
+        #     128-posting block concentrate so tightly near the term's
+        #     global max that this never removes a meaningful block
+        #     count; the metadata job is pure overhead there. So the
+        #     gate admits SINGLE-TERM queries only. (Doc-at-a-time
+        #     WAND's multi-term wins come from a GROWING threshold over
+        #     a sequential traversal — inherently serial; the
+        #     distributed analogue keeps only the static bound.)
         total_df = sum(m["df"] for m in meta.values())
-        idf_max = max(idf.values())
-        prunable = (len(idf) == 1
-                    or idf_max >= 2.0 * (sum(idf.values()) - idf_max))
+        prunable = len(idf) == 1
         if (use_wand and self.wand_safe and mode == "or" and prunable
                 and total_df >= wand_min_postings):
             blocks = self._wand_prune(blocks, meta, idf, k)

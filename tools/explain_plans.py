@@ -61,7 +61,10 @@ def main() -> None:
     show("token_dict prefix scan",
          eng.token_dict.filter(F.col("decomposed").startswith("ㅌ"))
             .select("term").orderBy("term"),
-         ["StringStartsWith(decomposed"])
+         # parquet PushedFilters (StringStartsWith) OR the cached
+         # InMemoryTableScan pushed predicate (token_dict is .cache()d
+         # by the engine; the filter pushes into the in-memory scan)
+         ["StartsWith(decomposed"])
     show("phrase candidates join", eng.search(["마법", "특별"], "phrase",
                                               log=False), [])
 
