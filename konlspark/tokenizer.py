@@ -139,6 +139,15 @@ _MAX_PARTICLE_LEN = max(len(w) for w in _PARTICLES)
 _MAX_ENTRY_LEN = max(_MAX_CONTENT_LEN, _MAX_PARTICLE_LEN)
 
 
+# word-occurrence → segmentation memo: corpora are Zipfian, so the
+# distinct-word working set is tiny relative to occurrences (a 1M-turn
+# build calls segment_word ~30M times over <10^5 distinct words). Capped
+# and cleared to bound executor memory; entries are tuples (immutable —
+# callers receive a fresh list).
+_SEG_CACHE: dict = {}
+_SEG_CACHE_MAX = 1 << 20
+
+
 def segment_word(word: str) -> List[str]:
     """Longest-match dictionary segmentation of one whitespace word.
 
@@ -150,6 +159,17 @@ def segment_word(word: str) -> List[str]:
     """
     if not word or _ASCII_RE.fullmatch(word):
         return [word] if word else []
+    cached = _SEG_CACHE.get(word)
+    if cached is not None:
+        return list(cached)
+    out = _segment_word_uncached(word)
+    if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+        _SEG_CACHE.clear()
+    _SEG_CACHE[word] = tuple(out)
+    return out
+
+
+def _segment_word_uncached(word: str) -> List[str]:
 
     out: List[str] = []
     n = len(word)
