@@ -210,7 +210,10 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # raw session dump — BENCH/BASELINE.md is the CURATED multi-session
+    # summary (this host's cross-session noise means a single protocol
+    # session must not silently replace the headline)
+    md = os.path.join(REPO, "BENCH", "last_protocol_run.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
     with open(md, "w") as f:
         f.write("# BENCH baseline — konlspark\n\n")
