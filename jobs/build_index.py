@@ -2,7 +2,7 @@
 
     spark-submit --py-files konlspark.zip jobs/build_index.py \
         --input /path/to/transcripts_parquet --output /path/to/index \
-        [--segments 64] [--block-size 128] [--target-per-split 200000] \
+        [--segments 64] [--block-size 128] [--target-per-split N] \
         [--buckets 512] [--no-resume]
 
 Input schema (BASELINE.json input_hint): conv_id string, turn_idx int,
@@ -26,7 +26,10 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--segments", type=int, default=1)
     ap.add_argument("--block-size", type=int, default=128)
-    ap.add_argument("--target-per-split", type=int, default=200_000)
+    ap.add_argument("--target-per-split", type=int, default=None,
+                    help="max postings per (term, salt) encode group; "
+                         "default: the library default (tuned for "
+                         "load-balanced encode stages)")
     ap.add_argument("--buckets", type=int, default=None,
                     help="posting term buckets; default max(32, cluster "
                          "parallelism) — raise with cluster size")
@@ -50,13 +53,16 @@ def main() -> None:
     if args.append:
         print(json.dumps(ingest.append_batch(spark, args.output, transcripts)))
         return
+    kwargs = {}
+    if args.target_per_split is not None:  # only override when set
+        kwargs["target_per_split"] = args.target_per_split
     manifest = build.build_index(
         spark, transcripts, args.output,
         block_size=args.block_size,
-        target_per_split=args.target_per_split,
         n_buckets=args.buckets,
         n_segments=args.segments,
         resume=not args.no_resume,
+        **kwargs,
     )
     print(json.dumps(manifest, default=str))
 

@@ -135,7 +135,8 @@ def analyze_transcripts(df: DataFrame) -> DataFrame:
 
 def assign_doc_ids(df: DataFrame, order_cols: Tuple[str, ...] = ("conv_id", "turn_idx"),
                    num_partitions: Optional[int] = None,
-                   start_id: int = 1) -> DataFrame:
+                   start_id: int = 1,
+                   dedup_keys: Optional[Tuple[str, ...]] = None) -> DataFrame:
     """Dense ids ``start_id..`` in global ``order_cols`` order.
 
     Range-repartition by the order key, count rows per partition (tiny
@@ -143,29 +144,112 @@ def assign_doc_ids(df: DataFrame, order_cols: Tuple[str, ...] = ("conv_id", "tur
     partition — every stage is parallel; the only driver-side data is
     one count per partition. The input is persisted so both passes see
     the same partitioning (repartitionByRange samples its boundaries).
+
+    ``dedup_keys``: optional column tuple — among rows EQUAL on all of
+    them, exactly one survives (see :func:`_prepare_ranked`).
     """
-    ranged, b_off, out_schema = _prepare_ranked(
-        df, order_cols, num_partitions, start_id)
-    out = ranged.mapInArrow(_make_rank_fn(b_off, out_schema), out_schema)
+    ranged, b_off, out_schema, _ = _prepare_ranked(
+        df, order_cols, num_partitions, start_id, dedup_keys=dedup_keys)
+    out = ranged.mapInArrow(
+        _make_rank_fn(b_off, out_schema, dedup_keys=dedup_keys), out_schema)
     # hand the persisted intermediate to the caller so it can unpersist
     # once downstream results are materialized (avoids cache leak)
     out._konl_persisted = ranged  # type: ignore[attr-defined]
     return out
 
 
-def _prepare_ranked(df: DataFrame, order_cols, num_partitions, start_id):
+def _dedup_carry_filter(batch, key_names, prev):
+    """Drop rows equal to their predecessor on ``key_names`` (batch-
+    boundary aware: ``prev`` is the last key tuple of the previous
+    batch). Rows must arrive sorted by the keys (equal runs adjacent).
+    Returns ``(filtered_batch, new_prev, n_dropped)``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    n = batch.num_rows
+    if n == 0:
+        return batch, prev, 0
+    cols = [batch.column(batch.schema.get_field_index(k)) for k in key_names]
+    keep = np.ones(n, dtype=bool)
+    if n > 1:
+        eq = None
+        for c in cols:
+            e = pc.equal(c.slice(1), c.slice(0, n - 1))
+            eq = e if eq is None else pc.and_(eq, e)
+        keep[1:] = ~eq.to_numpy(zero_copy_only=False)
+    if prev is not None:
+        first = tuple(c[0].as_py() for c in cols)
+        if first == prev:
+            keep[0] = False
+    new_prev = tuple(c[n - 1].as_py() for c in cols)
+    n_drop = int(n - keep.sum())
+    if n_drop == 0:
+        return batch, new_prev, 0
+    return batch.filter(pa.array(keep)), new_prev, n_drop
+
+
+def _make_dedup_count_fn(keys):
+    """Per-partition (pid, deduped count, dropped count) — reads only
+    the key columns (callers ``select`` them before ``mapInArrow``)."""
+    import pyarrow as pa
+
+    def count_partition(batches) -> Iterator:
+        pid, cnt, dropped, prev = None, 0, 0, None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if pid is None:
+                idx = batch.schema.get_field_index("_pid")
+                pid = int(batch.column(idx)[0].as_py())
+            filtered, prev, nd = _dedup_carry_filter(batch, keys, prev)
+            cnt += filtered.num_rows
+            dropped += nd
+        if pid is not None:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([pid], pa.int32()), pa.array([cnt], pa.int64()),
+                 pa.array([dropped], pa.int64())],
+                names=["_pid", "cnt", "dropped"])
+
+    return count_partition
+
+
+def _prepare_ranked(df: DataFrame, order_cols, num_partitions, start_id,
+                    dedup_keys: Optional[Tuple[str, ...]] = None):
     """Range-partition + sort + per-partition offsets (the two-pass
-    half of doc-id assignment, shared by the plain and fused paths)."""
+    half of doc-id assignment, shared by the plain and fused paths).
+
+    ``dedup_keys``: when set, rows equal on ALL of them keep exactly one
+    survivor — closing the duplicate-``(conv_id, turn_idx)`` hole where
+    two input rows with identical key AND identical text both pass the
+    winner-key dedup filter (no pure row expression can break that tie).
+    The keys are appended to the within-partition sort so equal rows are
+    adjacent, and the SAME deterministic adjacent-drop runs in both the
+    count pass and the rank pass over the SAME persisted bytes — counts
+    always match emitted rows, so ids stay dense. Costs no extra job:
+    the count pass reads only the key columns.
+
+    Returns ``(ranged, b_off, out_schema, n_dup_dropped)``.
+    """
     spark = df.sparkSession
     parts = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    sort_cols = list(order_cols) + [k for k in (dedup_keys or ())
+                                    if k not in order_cols]
     ranged = (
         df.repartitionByRange(int(parts), *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
+        .sortWithinPartitions(*sort_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = {r["_pid"]: r["cnt"] for r in
-              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    n_dropped = 0
+    if dedup_keys is None:
+        counts = {r["_pid"]: r["cnt"] for r in
+                  ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    else:
+        keys = list(dedup_keys)
+        rows = (ranged.select("_pid", *keys)
+                .mapInArrow(_make_dedup_count_fn(keys),
+                            "_pid int, cnt long, dropped long").collect())
+        counts = {r["_pid"]: r["cnt"] for r in rows}
+        n_dropped = sum(r["dropped"] for r in rows)
     offsets, acc = {}, start_id - 1
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -174,7 +258,7 @@ def _prepare_ranked(df: DataFrame, order_cols, num_partitions, start_id):
     out_schema = T.StructType(
         [f for f in ranged.schema if f.name != "_pid"]
         + [T.StructField("doc_id", T.LongType(), False)])
-    return ranged, b_off, out_schema
+    return ranged, b_off, out_schema, n_dropped
 
 
 def _rank_batch(batch, pos, b_off, names):
@@ -190,15 +274,18 @@ def _rank_batch(batch, pos, b_off, names):
     return pa.RecordBatch.from_arrays(arrays, names=names), pos + n
 
 
-def _make_rank_fn(b_off, out_schema):
+def _make_rank_fn(b_off, out_schema, dedup_keys=None):
     names = [f.name for f in out_schema]
+    keys = list(dedup_keys) if dedup_keys else None
 
     def rank_partition(batches) -> Iterator:
         # rows arrive in sorted order within the partition; ids are the
         # partition's cumulative offset + local position (no shuffle, no
         # window — a pure Arrow map stage over the persisted data)
-        pos = None
+        pos, prev = None, None
         for batch in batches:
+            if keys:
+                batch, prev, _ = _dedup_carry_filter(batch, keys, prev)
             if batch.num_rows == 0:
                 continue
             out, pos = _rank_batch(batch, pos, b_off, names)
@@ -214,6 +301,22 @@ def _make_rank_fn(b_off, out_schema):
 # above this many distinct duplicated hashes the winner map is joined
 # with a shuffle instead of broadcast (~50B/entry → ~100 MB broadcast)
 DEDUP_BROADCAST_LIMIT = 2_000_000
+
+_DEDUP_KEYS = ("conv_id", "turn_idx", "text_hash")
+
+
+def dup_winner_map(hashed: DataFrame, key, hash_col: str = "text_hash",
+                   only_dups: bool = True) -> DataFrame:
+    """The narrow dedup decision shared by :func:`build_docs`,
+    ``ingest.append_batch`` and ``ops.dedup.exact_dedup``: one map-side-
+    combined aggregate over ``(hash, key)`` giving each hash's group
+    size and first-occurrence winner key. Never shuffles full rows —
+    survivors are selected by re-joining this (tiny, AQE-broadcastable
+    once filtered to ``_n > 1``) map back onto the source scan.
+    """
+    agg = (hashed.groupBy(hash_col)
+           .agg(F.count("*").alias("_n"), F.min(key).alias("_wk")))
+    return agg.filter(F.col("_n") > 1) if only_dups else agg
 
 
 def build_docs(transcripts: DataFrame,
@@ -235,20 +338,24 @@ def build_docs(transcripts: DataFrame,
     whole docs path is the unavoidable range-repartition that gives
     dense ordered ids. (The previous shape — a row_number window over
     full rows by text_hash — shuffled and persisted the corpus twice.)
+
+    ``(conv_id, turn_idx)`` SHOULD be unique in the input; when it is
+    not, rows sharing both the key and the text (fully identical
+    duplicates, which no pure row expression can tie-break) keep exactly
+    ONE survivor via the deterministic adjacent-drop inside the ranked
+    count/rank passes (``_prepare_ranked(dedup_keys=...)``), and the
+    dropped copies are reported as CONFLICT losers; rows sharing the key
+    with DIFFERENT texts both survive (they are distinct documents).
+    The text-unique docs invariant holds unconditionally.
     """
     hashed = transcripts.withColumn("text_hash", F.sha2(F.col("text"), 256))
     key = F.struct(F.col("conv_id"), F.col("turn_idx"))
-    dup_winners = (
-        hashed.groupBy("text_hash")
-        .agg(F.count("*").alias("_n"), F.min(key).alias("_wk"))
-        .filter(F.col("_n") > 1)
-        .select("text_hash", "_wk")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     # broadcast-vs-shuffle is left to AQE (adaptive.enabled in
     # session.py): the agg's shuffle stage gives AQE an exact size, so a
     # sparse-dup corpus gets a broadcast probe with NO extra driver
     # action, and a dup-heavy one falls back to a narrow-key shuffle join
+    dup_winners = (dup_winner_map(hashed, key).select("text_hash", "_wk")
+                   .persist(StorageLevel.MEMORY_AND_DISK))
     joined = hashed.join(dup_winners, "text_hash", "left")
     survivors = (joined.filter(F.col("_wk").isNull() | (key == F.col("_wk")))
                  .drop("_wk"))
@@ -257,20 +364,35 @@ def build_docs(transcripts: DataFrame,
 
     # fused id-assignment + tokenization: ONE Python stage (one worker
     # set, one Arrow round-trip) instead of two chained map stages
-    ranged, b_off, ids_schema = _prepare_ranked(
-        survivors, ("conv_id", "turn_idx"), num_partitions, 1)
+    ranged, b_off, ids_schema, n_dropped = _prepare_ranked(
+        survivors, ("conv_id", "turn_idx"), num_partitions, 1,
+        dedup_keys=_DEDUP_KEYS)
     names = [f.name for f in ids_schema]
     out_schema = _analyzed_schema(ids_schema)
+    keys = list(_DEDUP_KEYS)
 
     def fused(batches) -> Iterator:
-        pos = None
+        pos, prev = None, None
         for batch in batches:
+            batch, prev, _ = _dedup_carry_filter(batch, keys, prev)
             if batch.num_rows == 0:
                 continue
             with_id, pos = _rank_batch(batch, pos, b_off, names)
             yield _analyze_record_batch(with_id)
 
     docs = ranged.mapInArrow(fused, out_schema)
+    if n_dropped > 0:
+        # fully-identical duplicate rows were dropped in the ranked pass
+        # — surface each dropped copy in the CONFLICT report (one narrow
+        # aggregate, run only on degenerate inputs)
+        key_cnt = (hashed.groupBy("text_hash", "conv_id", "turn_idx")
+                   .agg(F.count("*").alias("_kc")).filter(F.col("_kc") > 1))
+        extra = (key_cnt.join(dup_winners, "text_hash")
+                 .filter(key == F.col("_wk"))
+                 .withColumn("_i", F.explode(
+                     F.sequence(F.lit(2), F.col("_kc"))))
+                 .select("conv_id", "turn_idx", "text_hash"))
+        losers = losers.unionByName(extra)
     docs._konl_persisted = ranged  # type: ignore[attr-defined]
     docs._konl_persisted2 = dup_winners  # type: ignore[attr-defined]
     return docs, losers

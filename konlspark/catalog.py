@@ -31,7 +31,24 @@ from typing import Any, Dict, Optional
 
 
 class IndexCatalog:
+    """Metadata layer for one index root.
+
+    ALL catalog metadata I/O (manifest, segment checkpoints, sequence
+    markers) goes through the LOCAL filesystem — the embedded
+    single-process model the reference uses (RocksDB on a local path).
+    A non-local root (``hdfs://``, ``s3://``…) fails LOUDLY at
+    construction instead of silently returning empty metadata: cluster
+    deployments swap exactly this layer (an Iceberg/HMS catalog or a
+    Hadoop-FileSystem port of these few methods); the table data itself
+    is already read/written through Spark and needs no change.
+    """
+
     def __init__(self, root: str):
+        if "://" in root and not root.startswith("file:"):
+            raise NotImplementedError(
+                f"IndexCatalog metadata I/O is local-filesystem only; got "
+                f"{root!r} — swap the catalog layer (see class docstring) "
+                "for cluster filesystems")
         self.root = root
         self.meta_dir = os.path.join(root, "_meta")
 
@@ -83,6 +100,32 @@ class IndexCatalog:
     def segment_committed(self, segment_id: str, fingerprint: str) -> bool:
         entry = self.read_segments()["segments"].get(segment_id)
         return bool(entry) and entry.get("fingerprint") == fingerprint
+
+    # sequence high-water markers (query-log hot path) -----------------------
+    #
+    # The marker is a zero-byte file named by the last reserved seq id
+    # inside ``<table>/_seq/`` (the leading underscore hides the dir
+    # from Spark's file index). Reading = one listdir; reserving = one
+    # touch — no manifest read-modify-write on the query hot path.
+
+    def _marker_dir(self, table: str) -> str:
+        return os.path.join(self.table_path(table), "_seq")
+
+    def marker_last(self, table: str) -> int:
+        """Highest reserved sequence id for ``table`` (0 if none)."""
+        d = self._marker_dir(table)
+        if not os.path.isdir(d):
+            return 0
+        names = [n for n in os.listdir(d) if n.isdigit()]
+        return max((int(n) for n in names), default=0)
+
+    def marker_reserve(self, table: str, new_last: int) -> None:
+        """Advance the high-water mark to ``new_last``. Callers reserve
+        BEFORE writing the rows: a crash between the reserve and the
+        data write leaves a harmless seq gap, never a reusable range."""
+        d = self._marker_dir(table)
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, f"{new_last:020d}"), "w").close()
 
 
 # ---------------------------------------------------------------------------

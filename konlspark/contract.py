@@ -85,11 +85,12 @@ def _engine_root(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def _engine_bm25(spark: SparkSession, sf_dir: str, terms, k=10) -> DataFrame:
+def _engine_bm25(spark: SparkSession, sf_dir: str, terms, k=10,
+                 mode="or") -> DataFrame:
     from .query import SearchEngine
     root = _engine_root(spark, sf_dir)
     eng = SearchEngine(spark, root)
-    top = eng.bm25_topk(terms, k=k, use_wand=True)
+    top = eng.bm25_topk(terms, k=k, mode=mode, use_wand=True)
     # map engine doc ids back to the original documents.doc_id
     mapping = eng.docs.select(
         F.col("doc_id").alias("_eid"),
@@ -173,7 +174,7 @@ scores AS (
   JOIN dfreq USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats
-  GROUP BY tf.doc_id
+  GROUP BY tf.doc_id{having}
 )
 SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY s DESC, doc_id LIMIT {k}
@@ -224,9 +225,18 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = (_read(s, d, "documents")
                 .select(F.col("doc_id").alias("orig_id"), "source"))
         out = assign_doc_ids(docs, order_cols=("source", "orig_id"))
-        return (out.select(F.col("orig_id").alias("doc_id"),
-                           F.col("doc_id").alias("assigned_id"))
-                .orderBy("doc_id"))
+        res = (out.select(F.col("orig_id").alias("doc_id"),
+                          F.col("doc_id").alias("assigned_id"))
+               .orderBy("doc_id"))
+        # pin the (small) result, then release the range-partitioned
+        # intermediate so repeated contract runs in one process don't
+        # leak block-manager entries (eager checkpoint = safe to
+        # unpersist: the result no longer depends on the cached lineage)
+        res = res.localCheckpoint(eager=True)
+        persisted = getattr(out, "_konl_persisted", None)
+        if persisted is not None:
+            persisted.unpersist()
+        return res
     q["b1_doc_id_assignment"] = b1
 
     def b2(s, d):
@@ -291,6 +301,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q10_bm25_topk_engine"] = lambda s, d: _engine_bm25(
         s, d, ["spark", "vector"], k=10)
     q["q10_bm25_single_term"] = lambda s, d: _engine_bm25(s, d, ["window"], k=10)
+    # conjunctive scoring: only docs containing EVERY query term rank
+    q["q10_bm25_and_mode"] = lambda s, d: _engine_bm25(
+        s, d, ["spark", "vector"], k=10, mode="and")
 
     # -- counters / windows / sorts (C5, §2.6) -------------------------------
     q["c5_counter_topk"] = lambda s, d: (
@@ -541,9 +554,12 @@ def oracle_sql() -> Dict[str, str]:
         "SELECT event_type, count(*) AS n, round(sum(value), 4) AS total "
         "FROM events WHERE event_id > 500 GROUP BY event_type")
     o["q10_bm25_topk_engine"] = _DUCK_BM25.format(
-        toks=_DUCK_TOKS, terms=terms_sv, k=10)
+        toks=_DUCK_TOKS, terms=terms_sv, k=10, having="")
     o["q10_bm25_single_term"] = _DUCK_BM25.format(
-        toks=_DUCK_TOKS, terms="'window'", k=10)
+        toks=_DUCK_TOKS, terms="'window'", k=10, having="")
+    o["q10_bm25_and_mode"] = _DUCK_BM25.format(
+        toks=_DUCK_TOKS, terms=terms_sv, k=10,
+        having=" HAVING count(DISTINCT tf.term) = 2")
     o["c5_counter_topk"] = (
         "SELECT user_id, count(*) AS cnt FROM events "
         "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 3")

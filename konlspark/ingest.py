@@ -39,10 +39,12 @@ from .catalog import IndexCatalog
 
 
 def _tables(manifest: dict) -> dict:
-    return manifest.setdefault("tables", {
+    t = manifest.setdefault("tables", {
         "docs": ["docs"], "postings": ["postings"],
         "token_dict": ["token_dict"], "tombstones": [],
     })
+    t.setdefault("df_delta", [])
+    return t
 
 
 def _read_parts(spark: SparkSession, cat: IndexCatalog, manifest: dict,
@@ -74,22 +76,32 @@ def append_batch(spark: SparkSession, root: str,
         tomb = _read_parts(spark, cat, manifest, "tombstones")
         live_docs = live_docs.join(tomb, "doc_id", "left_anti")
 
-    # dedup over narrow raw rows; tokenize only the final survivors
+    # dedup over narrow raw rows; tokenize only the final survivors.
+    # Same narrow shape as build_docs: a (hash → count, winner-key)
+    # aggregate + probe join — no full-row window shuffle. The persisted
+    # aggregate also yields rows_in for free (sum of group sizes), so
+    # the input DataFrame is executed exactly once end to end.
     hashed = transcripts.withColumn("text_hash", F.sha2(F.col("text"), 256))
-    # in-batch dedup (keep first by turn order) …
-    from pyspark.sql import Window
-    w = Window.partitionBy("text_hash").orderBy("conv_id", "turn_idx")
-    ranked = (hashed.withColumn("_rk", F.row_number().over(w))
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    in_batch_losers = ranked.filter(F.col("_rk") > 1).drop("_rk")
-    firsts = ranked.filter(F.col("_rk") == 1).drop("_rk")
+    key = F.struct(F.col("conv_id"), F.col("turn_idx"))
+    hash_agg = B.dup_winner_map(hashed, key, only_dups=False) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    rows_in = int(hash_agg.agg(F.sum("_n").alias("t")).collect()[0]["t"] or 0)
+    dups = hash_agg.filter(F.col("_n") > 1).select("text_hash", "_wk")
+    joined = hashed.join(dups, "text_hash", "left")
+    firsts = (joined.filter(F.col("_wk").isNull() | (key == F.col("_wk")))
+              .drop("_wk"))
+    in_batch_losers = joined.filter(F.col("_wk").isNotNull()
+                                    & (key != F.col("_wk")))
     # … then dedup against the live corpus (reference hash-map probe)
     existing = live_docs.select("text_hash",
                                 F.col("doc_id").alias("conflict_doc_id"))
     survivors = firsts.join(existing.select("text_hash"), "text_hash",
                             "left_anti")
+    # dedup_keys: fully-identical duplicate rows (same key AND text)
+    # keep exactly one survivor — same guarantee as the full build
     new_ids = B.assign_doc_ids(
-        survivors, start_id=int(manifest["max_doc_id"]) + 1)
+        survivors, start_id=int(manifest["max_doc_id"]) + 1,
+        dedup_keys=B._DEDUP_KEYS)
     new_docs = B.analyze_transcripts(new_ids) \
         .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -98,13 +110,12 @@ def append_batch(spark: SparkSession, root: str,
         F.max("doc_id").alias("max_id")).collect()[0]
     n_new = int(stats["n"])
     if n_new == 0:
-        conflicts_n = transcripts.count()
-        ranked.unpersist()
+        hash_agg.unpersist()
         new_docs.unpersist()
         ranged = getattr(new_ids, "_konl_persisted", None)
         if ranged is not None:
             ranged.unpersist()
-        return {"indexed": 0, "conflicts": conflicts_n, "first_doc_id": None}
+        return {"indexed": 0, "conflicts": rows_in, "first_doc_id": None}
 
     docs_path = f"docs_parts/{part}"
     new_docs.write.mode("overwrite").parquet(cat.table_path(docs_path))
@@ -143,7 +154,7 @@ def append_batch(spark: SparkSession, root: str,
                 .agg(F.min("conflict_doc_id").alias("conflict_doc_id")))
     conflicts = vs_existing.unionByName(in_batch)
     conflicts.write.mode("append").parquet(cat.table_path("conflicts"))
-    n_conflicts = transcripts.count() - n_new
+    n_conflicts = rows_in - n_new  # no input re-scan
 
     # commit: single manifest swap makes everything visible atomically
     manifest["tables"]["docs"].append(docs_path)
@@ -160,11 +171,11 @@ def append_batch(spark: SparkSession, root: str,
     cat.commit_manifest(manifest)
     cat.commit_segment(part, {
         "fingerprint": f"append:{part}:{n_new}",
-        "lineage": {"kind": "append", "rows_in": transcripts.count(),
+        "lineage": {"kind": "append", "rows_in": rows_in,
                     "indexed": n_new, "conflicts": n_conflicts},
         "metrics": {"elapsed_sec": None},
     })
-    ranked.unpersist()
+    hash_agg.unpersist()
     new_docs.unpersist()
     ranged = getattr(new_ids, "_konl_persisted", None)
     if ranged is not None:  # assign_doc_ids' range-partitioned intermediate
@@ -198,7 +209,19 @@ def delete_docs(spark: SparkSession, root: str,
     spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long") \
         .write.mode("overwrite").parquet(cat.table_path(f"tombstones/{part}"))
 
+    # df_delta side table: per-term count of victim docs. Readers fold
+    # it into token_dict (live df = df − Σdelta, terms at 0 dropped) so
+    # the read surface is EXACT immediately after a delete — the
+    # reference drops a trie token the moment its last posting dies
+    # (inverted_index.py:89-95); without this, suggestions/__contains__
+    # kept returning dead terms until compaction (r2 divergence #8).
+    # tokens is the per-doc token SET, so count(*) = victim docs per term
+    dd = (victims.select(F.explode("tokens").alias("term"))
+          .groupBy("term").agg(F.count("*").alias("dd")))
+    dd.write.mode("overwrite").parquet(cat.table_path(f"df_delta/{part}"))
+
     manifest["tables"]["tombstones"].append(f"tombstones/{part}")
+    manifest["tables"].setdefault("df_delta", []).append(f"df_delta/{part}")
     manifest["total_doc_len"] = (
         manifest.get("total_doc_len",
                      float(manifest["avgdl"]) * manifest["n_docs"])
@@ -256,7 +279,8 @@ def compact(spark: SparkSession, root: str) -> dict:
     live.unpersist()
 
     manifest["tables"] = {"docs": [docs_path], "postings": [post_path],
-                          "token_dict": [td_path], "tombstones": []}
+                          "token_dict": [td_path], "tombstones": [],
+                          "df_delta": []}
     manifest["n_docs"] = n_docs
     manifest["avgdl"] = avgdl
     manifest["avgdl_built"] = avgdl

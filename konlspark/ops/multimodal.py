@@ -50,6 +50,33 @@ def _fake_features(payloads: pd.Series) -> np.ndarray:
     return out
 
 
+def _probe_decoders() -> dict:
+    """Runs ON THE EXECUTOR (inside the mapInPandas fn): which media
+    libraries exist in this worker's environment."""
+    caps = {}
+    try:
+        from PIL import Image  # noqa: F401
+        caps["image"] = True
+    except ImportError:
+        caps["image"] = False
+    try:
+        import soundfile  # noqa: F401
+        caps["audio"] = True
+    except ImportError:
+        caps["audio"] = False
+    return caps
+
+
+def _real_image_features(blob: bytes) -> "np.ndarray":
+    """PIL path (only reached when the probe found PIL): grayscale
+    8×4 thumbnail → 32 floats in [0,1] — deterministic, library-true."""
+    import io
+
+    from PIL import Image
+    img = Image.open(io.BytesIO(blob)).convert("L").resize((8, 4))
+    return np.asarray(img, dtype=np.float32).reshape(FEATURE_DIM) / 255.0
+
+
 def extract_features(media: DataFrame, decoder: str = "fake",
                      batch_bytes: int = 64 << 20) -> DataFrame:
     """media → (media_id, kind, n_bytes, feature: array<float>).
@@ -57,23 +84,47 @@ def extract_features(media: DataFrame, decoder: str = "fake",
     Arrow-batched ``mapInPandas``; the decode step is the stub point.
     ``batch_bytes`` documents the sizing rule: upstream should
     ``repartition`` so a partition's blobs fit executor memory.
+
+    Decoders:
+
+    - ``"fake"``  — deterministic sha256-derived features (the
+      documented sandbox stub; value-oracle-able in SQL);
+    - ``"real"``  — require the media libraries; raise if absent;
+    - ``"auto"`` — probe the EXECUTOR environment per kind (PIL for
+      images, soundfile for audio) and use the real decode where
+      available, the deterministic stub otherwise — the pipeline runs
+      unchanged in both the stubbed sandbox and a real cluster image.
     """
-    if decoder not in ("fake", "real"):
+    if decoder not in ("fake", "real", "auto"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if decoder == "real":
-                # PIL.Image.open / soundfile.read / ffmpeg frame-sample
-                # would go here; not available in this environment.
+        caps = _probe_decoders() if decoder in ("real", "auto") else {}
+
+        def one(kind: str, blob: bytes) -> np.ndarray:
+            if decoder != "fake" and kind == "image" and caps.get("image"):
+                return _real_image_features(bytes(blob))
+            # audio/video real paths would go here (soundfile / ffmpeg
+            # frame-sample); absent in this environment
+            if decoder == "real" and not caps.get(kind, False):
                 raise NotImplementedError(
-                    "real media decode requires PIL/soundfile/ffmpeg")
-            feats = _fake_features(pdf["payload"])
+                    f"real {kind} decode requires PIL/soundfile/ffmpeg "
+                    "(use decoder='auto' to fall back to the stub)")
+            d = hashlib.sha256(bytes(blob)).digest()
+            return (np.frombuffer(d, dtype=np.uint8)[:FEATURE_DIM]
+                    .astype(np.float32) / 255.0)
+
+        for pdf in batches:
+            if decoder == "fake":
+                feats = list(_fake_features(pdf["payload"]))
+            else:
+                feats = [one(k, b) for k, b in
+                         zip(pdf["kind"], pdf["payload"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "feature": list(feats),
+                "feature": feats,
             })
 
     return media.mapInPandas(

@@ -125,7 +125,23 @@ class SearchEngine:
             self.docs = self.docs.join(self.tombstones, "doc_id", "left_anti")
         # token_dict is the per-query metadata lookup (df + bucket per
         # term) — small relative to the corpus; cache it
-        self.token_dict = read_parts("token_dict").cache()
+        token_dict = read_parts("token_dict")
+        if tables.get("df_delta"):
+            # fold delete-time df corrections in: live df = df − Σdelta,
+            # and a term whose last live posting died DISAPPEARS from
+            # every token_dict read surface (suggestions, __contains__,
+            # frequency, idf) immediately — reference semantics
+            # (inverted_index.py:89-95). Exact until compact resets it.
+            delta = (read_parts("df_delta")
+                     .groupBy("term").agg(F.sum("dd").alias("_dd")))
+            token_dict = (
+                token_dict.join(delta, "term", "left")
+                .withColumn("df", (F.col("df")
+                                   - F.coalesce(F.col("_dd"), F.lit(0)))
+                            .cast("long"))
+                .drop("_dd")
+                .filter(F.col("df") > 0))
+        self.token_dict = token_dict.cache()
 
     # -- term metadata lookup (tiny) ----------------------------------------
     def _term_meta(self, terms: Sequence[str]) -> Dict[str, dict]:
@@ -286,7 +302,12 @@ class SearchEngine:
         empty = self.spark.createDataFrame([], "doc_id long")
         if not q:
             return empty
-        candidates = self.search(tokens, "and", log=log)
+        # candidates come from the MORPH terms (the same stream the
+        # adjacency check runs on): a query word that segments into
+        # multiple morphs is not itself an indexed term, so AND over the
+        # raw words would miss docs whose morph stream contains the
+        # phrase — the index stores morphs, not raw words
+        candidates = self.search(q, "and", log=log)
         cand_docs = (self.docs.join(candidates, "doc_id", "left_semi")
                      .select("doc_id", "text"))
         m = len(q)
@@ -471,35 +492,23 @@ class SearchEngine:
     # Hot-read-path design: logging a search must NOT touch the manifest
     # (a read-modify-write per query serializes readers and doubles the
     # filesystem commits). The log is append-only parquet; the sequence
-    # high-water mark lives in `query_log/_seq/` as empty marker files
-    # named by the last seq id (leading `_` hides the dir from Spark's
-    # file index). Appending = one parquet write + one marker touch.
-    # Single concurrent writer assumed (the reference is an embedded
-    # single-process engine, log.py:20-45); at cluster scale the log
-    # would be a streaming sink sharded by time with file-embedded base
-    # offsets — see konlspark/streaming.py.
-
-    def _log_seq_dir(self) -> str:
-        import os
-        return os.path.join(self.cat.table_path("query_log"), "_seq")
+    # high-water mark lives in marker files managed by ``IndexCatalog``
+    # (``marker_last`` / ``marker_reserve`` — the local-fs assumption
+    # lives in that one swappable layer and fails loudly on non-local
+    # roots). The range is RESERVED before the parquet write: a crash
+    # in between leaves a harmless seq gap, never a reused range that
+    # ``aggregate_frequency`` would double-count. Single concurrent
+    # writer assumed (the reference is an embedded single-process
+    # engine, log.py:20-45); at cluster scale the log would be a
+    # streaming sink sharded by time — see konlspark/streaming.py.
 
     def _last_log_seq(self) -> int:
-        import os
-        d = self._log_seq_dir()
-        if not os.path.isdir(d):
-            return 0
-        names = [n for n in os.listdir(d) if n.isdigit()]
-        return max((int(n) for n in names), default=0)
-
-    def _advance_log_seq(self, new_last: int) -> None:
-        import os
-        d = self._log_seq_dir()
-        os.makedirs(d, exist_ok=True)
-        open(os.path.join(d, f"{new_last:020d}"), "w").close()
+        return self.cat.marker_last("query_log")
 
     def _append_log(self, hits: List[str]) -> None:
         self._require_writable("query logging")
         last = self._last_log_seq()
+        self.cat.marker_reserve("query_log", last + len(hits))
         pdf = pd.DataFrame({
             "seq_id": np.arange(last + 1, last + 1 + len(hits), dtype=np.int64),
             "ts": pd.Timestamp.now(tz="UTC"),
@@ -510,7 +519,6 @@ class SearchEngine:
             pdf, "seq_id long, ts timestamp, token string, size int")
         df.coalesce(1).write.mode("append").parquet(
             self.cat.table_path("query_log"))
-        self._advance_log_seq(last + len(hits))
 
     def _log_hits(self, tokens: Sequence[str], meta: Dict[str, dict]) -> None:
         """Append (token, 1) per query-token occurrence with ≥1 hit
@@ -520,17 +528,34 @@ class SearchEngine:
             self._append_log(hits)
 
     def log_query_tokens(self, tokens_df: DataFrame) -> int:
-        """Batch-log a DataFrame of query tokens (column ``token``) in
-        ONE job: semi-join ``token_dict`` keeps tokens with ≥1 hit
-        (the reference's per-query hit check), then a single parquet
-        append. Returns the number of rows logged."""
+        """Batch-log a DataFrame of query tokens (column ``token``)
+        WITHOUT collecting them to the driver: semi-join ``token_dict``
+        keeps tokens with ≥1 hit (the reference's per-query hit check),
+        count to reserve the seq range, then write the DataFrame
+        directly with ``seq_id = base offset + row_number`` over ONE
+        coalesced partition (a query-log append is one log file by
+        design — single-writer embedded model; bulk cluster-scale
+        logging is the streaming sink's job). Returns the number of
+        rows logged."""
+        from pyspark.sql import Window
+        self._require_writable("query logging")
         hits = (tokens_df.select(F.col("token").cast("string"))
                 .join(self.token_dict.select(F.col("term").alias("token")),
                       "token", "left_semi"))
-        rows = [r["token"] for r in hits.orderBy("token").collect()]
-        if rows:
-            self._append_log(rows)
-        return len(rows)
+        n = hits.count()
+        if n == 0:
+            return 0
+        last = self._last_log_seq()
+        self.cat.marker_reserve("query_log", last + n)
+        w = Window.orderBy("token")  # one coalesced partition: cheap & stable
+        out = (hits.coalesce(1)
+               .withColumn("seq_id",
+                           (F.row_number().over(w) + F.lit(last)).cast("long"))
+               .withColumn("ts", F.current_timestamp())
+               .withColumn("size", F.lit(1).cast("int"))
+               .select("seq_id", "ts", "token", "size"))
+        out.write.mode("append").parquet(self.cat.table_path("query_log"))
+        return n
 
     def aggregate_frequency(self) -> None:
         """Incremental: log rows past the stored offset are summed into

@@ -1,0 +1,97 @@
+"""Dedup invariants under duplicate (conv_id, turn_idx) input keys.
+
+The narrow winner-key dedup alone cannot tie-break two FULLY identical
+rows (same key, same text) — both match the winner key. The ranked
+count/rank passes drop adjacent duplicates deterministically instead,
+so exactly one row per text_hash survives unconditionally (the b2
+oracle invariant), ids stay dense, and dropped copies surface in the
+CONFLICT report.
+"""
+
+import datetime
+
+import pandas as pd
+
+
+def _tdf(spark, rows):
+    from konlspark import corpus
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    pdf = pd.DataFrame([
+        {"conv_id": c, "turn_idx": t, "role": "user", "text": x,
+         "tool": "", "ts": ts}
+        for c, t, x in rows
+    ])
+    return corpus.spark_transcripts(spark, pdf)
+
+
+def test_build_docs_duplicate_key_same_text_one_survivor(spark, tmp_root):
+    from konlspark import build
+    from konlspark.query import SearchEngine
+    rows = [
+        ("c0", 0, "alpha beta"),
+        ("c0", 1, "gamma delta"),
+        ("c0", 1, "gamma delta"),      # identical key AND text → drop one
+        ("c0", 1, "gamma delta"),      # and another copy
+        ("c1", 0, "alpha beta"),       # same text, different key → loser
+        ("c1", 1, "epsilon zeta"),
+    ]
+    root = f"{tmp_root}/dup_key_idx"
+    build.build_index(spark, _tdf(spark, rows), root)
+    eng = SearchEngine(spark, root)
+    docs = eng.docs.select("doc_id", "text").orderBy("doc_id").collect()
+    texts = [r["text"] for r in docs]
+    assert texts == ["alpha beta", "gamma delta", "epsilon zeta"]
+    assert [r["doc_id"] for r in docs] == [1, 2, 3]  # dense, no gaps
+    conflicts = spark.read.parquet(f"{root}/conflicts").collect()
+    # 2 dropped identical copies + 1 cross-key duplicate, all resolving
+    # to the winning doc id
+    assert len(conflicts) == 3
+    by_key = {(r["conv_id"], r["turn_idx"]): r["conflict_doc_id"]
+              for r in conflicts}
+    assert by_key[("c1", 0)] == 1
+    assert by_key[("c0", 1)] == 2
+
+
+def test_build_docs_duplicate_key_different_text_both_survive(spark, tmp_root):
+    from konlspark import build
+    from konlspark.query import SearchEngine
+    rows = [
+        ("c0", 0, "one two"),
+        ("c0", 0, "three four"),  # same key, different text: two docs
+    ]
+    root = f"{tmp_root}/dup_key_idx2"
+    build.build_index(spark, _tdf(spark, rows), root)
+    eng = SearchEngine(spark, root)
+    texts = sorted(r["text"] for r in eng.docs.select("text").collect())
+    assert texts == ["one two", "three four"]
+    assert len(eng) == 2
+
+
+def test_append_batch_duplicate_key_and_derived_counts(spark, tmp_root):
+    from konlspark import build, ingest
+    from konlspark.query import SearchEngine
+    root = f"{tmp_root}/dup_key_append"
+    build.build_index(spark, _tdf(spark, [("c0", 0, "base text")]), root)
+    batch = [
+        ("c1", 0, "base text"),       # conflict vs live
+        ("c1", 1, "fresh one"),
+        ("c1", 2, "fresh two"),
+        ("c1", 2, "fresh two"),       # identical key+text → one survivor
+        ("c1", 3, "fresh one"),       # in-batch duplicate (other key)
+    ]
+    res = ingest.append_batch(spark, root, _tdf(spark, batch))
+    assert res["indexed"] == 2
+    assert res["conflicts"] == 3  # rows_in (5) - indexed (2)
+    eng = SearchEngine(spark, root)
+    texts = sorted(r["text"] for r in eng.docs.select("text").collect())
+    assert texts == ["base text", "fresh one", "fresh two"]
+
+
+def test_exact_dedup_narrow_matches_semantics(spark):
+    from konlspark.ops.dedup import exact_dedup
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "a"), (5, "c")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["dup_count"]
+           for r in exact_dedup(df).select("doc_id", "dup_count").collect()}
+    assert out == {1: 3, 2: 1, 5: 1}

@@ -89,24 +89,33 @@ def test_delete_removes_from_search_and_compact_restores_parity(
     eng.refresh()
     assert eng.search(["다이아몬드"], "or", log=False).collect() == []
     assert not eng.wand_safe  # stale block-max metadata → WAND off
-    # dead term still suggested pre-compaction (documented staleness) …
-    ingest.compact(spark, root)
-    eng.refresh()
-    assert eng.wand_safe
-    # … and gone after compaction (reference drops term with last posting)
-    assert "다이아몬드" not in eng.search_suggestions("다")
-    # full parity with an oracle over the surviving corpus
     ora = OracleIndex()
     ora.index_all(TITLES)
     ora.delete(38)
     ora.delete(10)
-    for q in (["같은", "비스크"], ["마법", "특별"]):
-        got = [(r["doc_id"], r["score"]) for r in
-               eng.bm25_topk(q, k=10, use_wand=False).collect()]
-        want = ora.bm25_topk(q, k=10)
-        assert [d for d, _ in got] == [d for d, _ in want], q
-        for (_, a), (_, b) in zip(got, want):
-            assert abs(a - b) < 1e-9
+    # dead term gone from EVERY token_dict surface immediately after the
+    # delete (df_delta fold — reference drops a trie token the moment
+    # its last posting dies, inverted_index.py:89-95): suggestions,
+    # membership, and df-driven idf are exact BEFORE compaction
+    assert "다이아몬드" not in eng.search_suggestions("다")
+    assert "다이아몬드" not in eng
+
+    def assert_bm25_parity():
+        for q in (["같은", "비스크"], ["마법", "특별"]):
+            got = [(r["doc_id"], r["score"]) for r in
+                   eng.bm25_topk(q, k=10, use_wand=False).collect()]
+            want = ora.bm25_topk(q, k=10)
+            assert [d for d, _ in got] == [d for d, _ in want], q
+            for (_, a), (_, b) in zip(got, want):
+                assert abs(a - b) < 1e-9
+
+    assert_bm25_parity()  # pre-compaction: idf/avgdl already exact
+    ingest.compact(spark, root)
+    eng.refresh()
+    assert eng.wand_safe
+    # still gone after compaction (token_dict rebuilt from live docs)
+    assert "다이아몬드" not in eng.search_suggestions("다")
+    assert_bm25_parity()
 
 
 def test_append_is_invisible_without_commit(spark, fresh_index, monkeypatch):

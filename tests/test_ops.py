@@ -161,9 +161,22 @@ def test_multimodal_plumbing(spark):
     f0 = multimodal.extract_features(media, decoder="fake") \
         .filter(F.col("media_id") == 0).collect()[0]["feature"]
     assert feats[[r["media_id"] for r in feats].index(0)]["feature"] == f0
-    # real decoder is an explicit stub
+    # real decoder is an explicit stub (no media libs in this sandbox)
     with pytest.raises(Exception):
         multimodal.extract_features(media, decoder="real").collect()
+    # auto probes the executor env: real decode where libs exist,
+    # deterministic stub otherwise — works in BOTH worlds
+    auto = multimodal.extract_features(media, decoder="auto").collect()
+    assert len(auto) == 30
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in auto)
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:  # stub fallback must equal the fake decoder exactly
+        fake = {r["media_id"]: r["feature"] for r in feats}
+        assert all(fake[r["media_id"]] == r["feature"] for r in auto)
     plan = multimodal.frame_sample_plan(media, every_ms=500)
     assert plan.count() > 0
     assert plan.columns == ["media_id", "frame_ts_ms"]
