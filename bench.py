@@ -24,6 +24,87 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 TURNS_PER_SF = 1_000_000
 
+GOLDENS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "goldens.json")
+
+
+def maxscore_reduction(eng, rh_terms) -> dict:
+    """Measured decode reduction of the MaxScore rare+head plan: the
+    fraction of the head term's blocks (and postings) that the
+    candidate range semi-join keeps. Wall clock at sandbox scale is
+    job-floor-bound (~0.3s/job vs ~5M decoded postings/s/core), so the
+    honest scale metric is the decode/shuffle volume skipped — at
+    10^9+ head postings that volume IS the query cost."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from konlspark.oracle import bm25_idf
+    rare, head = rh_terms
+    meta = eng._term_meta([rare, head])
+    if rare not in meta or head not in meta:
+        return {}
+    idf = {t: bm25_idf(eng.n_docs, m["df"]) for t, m in meta.items()}
+    cand = np.sort(np.array(
+        [r["doc_id"] for r in
+         eng._decode(eng._blocks_for({rare: meta[rare]}), idf)
+         .select("doc_id").distinct().collect()], dtype=np.int64))
+    blocks = (eng._blocks_for({head: meta[head]})
+              .select("first_doc_id", "last_doc_id", "n").collect())
+    kept_blocks = kept_postings = 0
+    for b in blocks:
+        i = int(np.searchsorted(cand, b["first_doc_id"]))
+        if i < len(cand) and cand[i] <= b["last_doc_id"]:
+            kept_blocks += 1
+            kept_postings += b["n"]
+    total_postings = sum(b["n"] for b in blocks)
+    return {
+        "maxscore_head_blocks": len(blocks),
+        "maxscore_kept_blocks": kept_blocks,
+        "maxscore_head_postings": total_postings,
+        "maxscore_kept_postings": kept_postings,
+        "maxscore_decode_reduction": round(
+            1.0 - kept_postings / max(1, total_postings), 4),
+    }
+
+
+def check_golden(eng, manifest, n_turns, args, cluster_rows) -> str:
+    """Exact-result assertion at bench scale (reference kowiki.py:42-102
+    asserts 300+ exact doc ids over 1.4M titles). Returns 'recorded' on
+    first sight of this corpus key, 'ok' when results match the stored
+    golden; raises SystemExit on mismatch."""
+    import hashlib
+
+    key = (f"turns{n_turns}_seed42_w{args.min_words}-{args.max_words}"
+           f"_cl{cluster_rows}_v1")
+    bool_ids = [r["doc_id"] for r in
+                eng.search(["건담"], "or", log=False).collect()]
+    bm25 = [(r["doc_id"], round(r["score"], 6)) for r in
+            eng.bm25_topk(["마법", "특별"], k=10, use_wand=False).collect()]
+    got = {
+        "n_docs": manifest["n_docs"],
+        "bool_gundam_n": len(bool_ids),
+        "bool_gundam_sha": hashlib.sha256(
+            ",".join(map(str, bool_ids)).encode()).hexdigest()[:16],
+        "bm25_top10": [list(x) for x in bm25],
+    }
+    goldens = {}
+    if os.path.exists(GOLDENS_PATH):
+        with open(GOLDENS_PATH) as f:
+            goldens = json.load(f)
+    if key in goldens:
+        want = goldens[key]
+        if want != got:
+            print(json.dumps({"golden_mismatch": {
+                "key": key, "want": want, "got": got}}), file=sys.stderr)
+            raise SystemExit(f"GOLDEN MISMATCH at bench scale ({key}) — "
+                             "scale-only correctness bug")
+        return "ok"
+    goldens[key] = got
+    os.makedirs(os.path.dirname(GOLDENS_PATH), exist_ok=True)
+    with open(GOLDENS_PATH, "w") as f:
+        json.dump(goldens, f, indent=1, sort_keys=True)
+    return "recorded"
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -68,10 +149,14 @@ def main() -> None:
     # --- headline: index build over sf*1M synthetic transcript turns -----
     root = f"/tmp/konlspark_bench_idx_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
+    # cluster_rows: a temporally-clustered rare topic term (realistic
+    # transcript shape) — the MaxScore rare+head query regime
+    cluster_rows = min(2000, max(1300, n_turns // 50))
     tdf = corpus.spark_make_transcripts(
         spark, n_turns, turns_per_conv=20, seed=42,
         min_words=args.min_words, max_words=args.max_words,
-        num_partitions=max(8, args.cores)).cache()
+        num_partitions=max(8, args.cores),
+        cluster_rows=cluster_rows).cache()
     tdf.count()  # materialize input outside the timed window
     # warm-up: spin up the Python workers / JIT on a tiny build so the
     # timed run measures steady state (cold-start is ~15s of pandas
@@ -91,8 +176,17 @@ def main() -> None:
         "build_phases": manifest["build_phases"],
     }
 
+    # --- golden assertion at bench scale (kowiki analogue): the corpus
+    # is deterministic per (n_turns, seed, params), so exact query
+    # results are too. First run per key records them; every later run
+    # (scaling legs included) fails LOUDLY on any scale-only
+    # correctness bug (block boundaries, salt merge, varint overflow,
+    # dedup drift) that small fixtures cannot catch.
+    eng = SearchEngine(spark, root)
+    golden_checked = check_golden(eng, manifest, n_turns, args, cluster_rows)
+    extras["golden"] = golden_checked
+
     if not args.build_only:
-        eng = SearchEngine(spark, root)
         # warm the read path (token_dict cache fill, python decode
         # workers, and the per-plan-shape whole-stage-codegen JIT) so
         # the first timed query of each shape measures steady state,
@@ -128,6 +222,27 @@ def main() -> None:
             ["마법"], k=10, use_wand=True).collect())
         timed2("q10_bm25_1term_exact", lambda: eng.bm25_topk(
             ["마법"], k=10, use_wand=False).collect())
+        # rare+head: the distributed-MaxScore regime — 'topicmarker' is
+        # the clustered rare term, paired with the highest-df head term.
+        # Pruned and exact results must be IDENTICAL (asserted below);
+        # the gate keeps the pruned path off until the skipped decode
+        # outweighs its extra driver jobs (MAXSCORE_MIN_NE_POSTINGS),
+        # so the timing pair is a NO-REGRESSION guard at this scale
+        # while maxscore_* extras report the measured decode reduction.
+        head_term = (eng.token_dict.select("term", "df")
+                     .orderBy(F.desc("df"), F.asc("term"))
+                     .first()["term"])
+        rh = ["topicmarker", head_term]
+        rh_wand = [(r["doc_id"], round(r["score"], 6)) for r in
+                   eng.bm25_topk(rh, k=10, use_wand=True).collect()]
+        rh_exact = [(r["doc_id"], round(r["score"], 6)) for r in
+                    eng.bm25_topk(rh, k=10, use_wand=False).collect()]
+        assert rh_wand == rh_exact, ("MaxScore != exact", rh_wand, rh_exact)
+        timed2("q10_bm25_rare_head_wand", lambda: eng.bm25_topk(
+            rh, k=10, use_wand=True).collect())
+        timed2("q10_bm25_rare_head_exact", lambda: eng.bm25_topk(
+            rh, k=10, use_wand=False).collect())
+        extras.update(maxscore_reduction(eng, rh))
         timed("q2_or_search", lambda: eng.search(
             ["같은", "비스크"], "or", log=False).collect())
         timed("q3_and_search", lambda: eng.search(
@@ -156,7 +271,9 @@ def main() -> None:
         extras["wand_le_exact"] = bool(
             timings["q10_bm25_wand"] <= timings["q10_bm25_exact"] * 1.15
             and timings["q10_bm25_1term_wand"]
-                <= timings["q10_bm25_1term_exact"] * 1.15)
+                <= timings["q10_bm25_1term_exact"] * 1.15
+            and timings["q10_bm25_rare_head_wand"]
+                <= timings["q10_bm25_rare_head_exact"] * 1.15)
 
     total = time.time() - t_start
     out = {

@@ -592,6 +592,7 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
     max_doc_id = int(stats["max_doc_id"] or 0)
     total_doc_len = float(stats["total_doc_len"] or 0.0)
+    t = mark("docs_stats", t)
 
     # explode once; term_df feeds token_dict AND the salting decision
     # (cached — whichever concurrent consumer runs first fills it, the

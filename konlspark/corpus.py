@@ -140,7 +140,9 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 def spark_make_transcripts(spark, n_turns: int, turns_per_conv: int = 20,
                            seed: int = 42, title_every: int = 3,
                            min_words: int = 10, max_words: int = 60,
-                           num_partitions: int = 0):
+                           num_partitions: int = 0,
+                           cluster_token: str = "topicmarker",
+                           cluster_rows: int = 0):
     """Distributed deterministic transcript synthesis (for large-scale
     benches; driver-side :func:`make_transcripts` covers tests).
 
@@ -148,6 +150,12 @@ def spark_make_transcripts(spark, n_turns: int, turns_per_conv: int = 20,
     counter-based hash, so output is identical for any partitioning —
     the 10^12-turn story: generation scales with the cluster, no
     driver-side materialization.
+
+    ``cluster_rows > 0`` appends ``cluster_token`` to the first that
+    many rows — a TEMPORALLY CLUSTERED rare term (a topic that lives in
+    a time window, the realistic shape for transcript corpora whose doc
+    ids follow conversation/time order). It exercises the MaxScore
+    rare+head pruning regime in the bench; default 0 = untouched corpus.
     """
     import pyarrow as pa
     from pyspark.sql import functions as F
@@ -173,14 +181,17 @@ def spark_make_transcripts(spark, n_turns: int, turns_per_conv: int = 20,
             for i in range(n):
                 rid = int(ids[i])
                 if rid % title_every == 0:
-                    texts.append(titles[(rid // title_every) % len(titles)])
-                    continue
-                ws = _splitmix64(
-                    np.arange(lengths[i], dtype=np.uint64)
-                    + np.uint64(rid) * np.uint64(1_000_003)
-                    + np.uint64(seed))
-                u = ws.astype(np.float64) / 2.0**64
-                texts.append(" ".join(vocab[np.searchsorted(cdf, u)]))
+                    text = titles[(rid // title_every) % len(titles)]
+                else:
+                    ws = _splitmix64(
+                        np.arange(lengths[i], dtype=np.uint64)
+                        + np.uint64(rid) * np.uint64(1_000_003)
+                        + np.uint64(seed))
+                    u = ws.astype(np.float64) / 2.0**64
+                    text = " ".join(vocab[np.searchsorted(cdf, u)])
+                if rid < cluster_rows:
+                    text = text + " " + cluster_token
+                texts.append(text)
             roles = np.array(["user", "assistant", "tool"], dtype=object)[
                 (ids % np.uint64(3)).astype(np.int64)]
             tools = np.where(
