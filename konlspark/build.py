@@ -148,13 +148,15 @@ def assign_doc_ids(df: DataFrame, order_cols: Tuple[str, ...] = ("conv_id", "tur
     ``dedup_keys``: optional column tuple — among rows EQUAL on all of
     them, exactly one survives (see :func:`_prepare_ranked`).
     """
-    ranged, b_off, out_schema, _ = _prepare_ranked(
+    ranged, b_off, out_schema, _, n_rows = _prepare_ranked(
         df, order_cols, num_partitions, start_id, dedup_keys=dedup_keys)
     out = ranged.mapInArrow(
         _make_rank_fn(b_off, out_schema, dedup_keys=dedup_keys), out_schema)
     # hand the persisted intermediate to the caller so it can unpersist
     # once downstream results are materialized (avoids cache leak)
     out._konl_persisted = ranged  # type: ignore[attr-defined]
+    out._konl_n_rows = n_rows  # type: ignore[attr-defined]
+    out._konl_max_id = start_id + n_rows - 1  # type: ignore[attr-defined]
     return out
 
 
@@ -187,31 +189,6 @@ def _dedup_carry_filter(batch, key_names, prev):
     return batch.filter(pa.array(keep)), new_prev, n_drop
 
 
-def _make_dedup_count_fn(keys):
-    """Per-partition (pid, deduped count, dropped count) — reads only
-    the key columns (callers ``select`` them before ``mapInArrow``)."""
-    import pyarrow as pa
-
-    def count_partition(batches) -> Iterator:
-        pid, cnt, dropped, prev = None, 0, 0, None
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            if pid is None:
-                idx = batch.schema.get_field_index("_pid")
-                pid = int(batch.column(idx)[0].as_py())
-            filtered, prev, nd = _dedup_carry_filter(batch, keys, prev)
-            cnt += filtered.num_rows
-            dropped += nd
-        if pid is not None:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array([pid], pa.int32()), pa.array([cnt], pa.int64()),
-                 pa.array([dropped], pa.int64())],
-                names=["_pid", "cnt", "dropped"])
-
-    return count_partition
-
-
 def _prepare_ranked(df: DataFrame, order_cols, num_partitions, start_id,
                     dedup_keys: Optional[Tuple[str, ...]] = None):
     """Range-partition + sort + per-partition offsets (the two-pass
@@ -222,12 +199,15 @@ def _prepare_ranked(df: DataFrame, order_cols, num_partitions, start_id,
     two input rows with identical key AND identical text both pass the
     winner-key dedup filter (no pure row expression can break that tie).
     The keys are appended to the within-partition sort so equal rows are
-    adjacent, and the SAME deterministic adjacent-drop runs in both the
-    count pass and the rank pass over the SAME persisted bytes — counts
-    always match emitted rows, so ids stay dense. Costs no extra job:
-    the count pass reads only the key columns.
+    adjacent and the rank pass drops run-repeats deterministically; the
+    count pass counts the SAME survivors as ``countDistinct`` over the
+    keys per partition — pure JVM (hash-distinct, no Python round-trip),
+    and provably equal to what the rank pass emits (distinct key tuples
+    per partition), so ids stay dense.
 
-    Returns ``(ranged, b_off, out_schema, n_dup_dropped)``.
+    Returns ``(ranged, b_off, out_schema, n_dup_dropped, n_rows)`` —
+    ``n_rows`` is the post-dedup row count (ids are dense ``start_id ..
+    start_id + n_rows - 1``, so callers need no count/max agg job).
     """
     spark = df.sparkSession
     parts = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
@@ -244,12 +224,14 @@ def _prepare_ranked(df: DataFrame, order_cols, num_partitions, start_id,
         counts = {r["_pid"]: r["cnt"] for r in
                   ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     else:
-        keys = list(dedup_keys)
-        rows = (ranged.select("_pid", *keys)
-                .mapInArrow(_make_dedup_count_fn(keys),
-                            "_pid int, cnt long, dropped long").collect())
+        # distinct over a STRUCT: null-safe (bare countDistinct(a,b,c)
+        # would silently skip rows with any null key)
+        rows = (ranged.groupBy("_pid")
+                .agg(F.countDistinct(F.struct(*[F.col(c) for c in dedup_keys]))
+                     .alias("cnt"),
+                     F.count("*").alias("tot")).collect())
         counts = {r["_pid"]: r["cnt"] for r in rows}
-        n_dropped = sum(r["dropped"] for r in rows)
+        n_dropped = sum(r["tot"] - r["cnt"] for r in rows)
     offsets, acc = {}, start_id - 1
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -258,7 +240,7 @@ def _prepare_ranked(df: DataFrame, order_cols, num_partitions, start_id,
     out_schema = T.StructType(
         [f for f in ranged.schema if f.name != "_pid"]
         + [T.StructField("doc_id", T.LongType(), False)])
-    return ranged, b_off, out_schema, n_dropped
+    return ranged, b_off, out_schema, n_dropped, acc - (start_id - 1)
 
 
 def _rank_batch(batch, pos, b_off, names):
@@ -364,7 +346,7 @@ def build_docs(transcripts: DataFrame,
 
     # fused id-assignment + tokenization: ONE Python stage (one worker
     # set, one Arrow round-trip) instead of two chained map stages
-    ranged, b_off, ids_schema, n_dropped = _prepare_ranked(
+    ranged, b_off, ids_schema, n_dropped, n_rows = _prepare_ranked(
         survivors, ("conv_id", "turn_idx"), num_partitions, 1,
         dedup_keys=_DEDUP_KEYS)
     names = [f.name for f in ids_schema]
@@ -395,6 +377,8 @@ def build_docs(transcripts: DataFrame,
         losers = losers.unionByName(extra)
     docs._konl_persisted = ranged  # type: ignore[attr-defined]
     docs._konl_persisted2 = dup_winners  # type: ignore[attr-defined]
+    docs._konl_n_rows = n_rows  # type: ignore[attr-defined]
+    docs._konl_max_id = n_rows  # ids are dense 1..n_rows
     return docs, losers
 
 
@@ -484,6 +468,14 @@ def build_postings(docs: DataFrame, avgdl: float,
             "doc_ids_delta", "tfs", "doc_lens", "block_max_tf", "block_max_w",
         ])
 
+    # NOTE (r3 measured): a one-shuffle variant — repartition the
+    # exploded rows by (term_bucket, salt) + JVM sort + streaming
+    # encode — was tried and REVERTED: (bucket, salt) has only
+    # ~n_buckets·avg_salts distinct keys, which caps encode parallelism
+    # and skews partitions (16c@4M: 44s → 52-68s). The two-shuffle
+    # shape keeps thousands of (term, salt) keys for the expensive
+    # encode stage; the second shuffle moves already-compressed blocks
+    # (tiny) purely for write co-location.
     postings = (
         salted.groupBy("term", "salt")
         .applyInPandas(encode_group, POSTINGS_SCHEMA)
@@ -583,17 +575,6 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
 
     side_threads = [_bg(_write_conflicts)]
 
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
-        F.sum("doc_len").alias("total_doc_len"),
-        F.max("doc_id").alias("max_doc_id"),
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 1.0)
-    max_doc_id = int(stats["max_doc_id"] or 0)
-    total_doc_len = float(stats["total_doc_len"] or 0.0)
-    t = mark("docs_stats", t)
-
     # explode once; term_df feeds token_dict AND the salting decision
     # (cached — whichever concurrent consumer runs first fills it, the
     # other reads the cache behind the block locks)
@@ -601,10 +582,11 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
     term_df = (exploded.groupBy("term").agg(F.count("*").alias("df"))
                .persist(StorageLevel.MEMORY_AND_DISK))
 
-    # token_dict write is independent of the postings build — run it as
-    # a CONCURRENT job (Spark schedules jobs from separate driver
-    # threads onto idle task slots) so its driver barrier overlaps the
-    # long postings stage instead of serializing before it
+    # token_dict write is independent of the postings build AND of the
+    # corpus stats — run it as a CONCURRENT job (Spark schedules jobs
+    # from separate driver threads onto idle task slots) so its driver
+    # barrier overlaps the stats agg + postings stage instead of
+    # serializing before them
     def _write_token_dict() -> None:
         token_dict = build_token_dict(term_df=term_df).withColumn(
             "term_bucket",
@@ -614,6 +596,16 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
                    .write.mode("overwrite").parquet(cat.table_path("token_dict")))
 
     side_threads.append(_bg(_write_token_dict))
+
+    # n_docs / max_doc_id fall out of the ranked offsets (dense ids —
+    # no count/max agg job); only Σ doc_len needs a scan, and it prunes
+    # to ONE parquet column
+    n_docs = int(getattr(docs_lazy, "_konl_n_rows"))
+    max_doc_id = int(getattr(docs_lazy, "_konl_max_id"))
+    stats = docs.agg(F.sum("doc_len").alias("total_doc_len")).collect()[0]
+    total_doc_len = float(stats["total_doc_len"] or 0.0)
+    avgdl = (total_doc_len / n_docs) if n_docs else 1.0
+    t = mark("docs_stats", t)
 
     build_metrics: List[dict] = []
     if n_segments <= 1:
