@@ -200,10 +200,12 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
 
         def timed2(name, fn):
-            """Min-of-2 for the wand-vs-exact pairs: these compare two
-            sub-second paths whose single-shot delta is run-order noise."""
+            """Min-of-3 for the wand-vs-exact pairs: these compare two
+            sub-second job-floor-bound paths whose single-shot delta is
+            run-order noise on this shared VM (the pairs exist as
+            no-regression guards, not as throughput claims)."""
             ts = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 fn()
                 ts.append(time.time() - t0)
