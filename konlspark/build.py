@@ -175,7 +175,16 @@ def _dedup_carry_filter(batch, key_names, prev):
     if n > 1:
         eq = None
         for c in cols:
-            e = pc.equal(c.slice(1), c.slice(0, n - 1))
+            a, b = c.slice(1), c.slice(0, n - 1)
+            # null-safe equality (null == null → equal), matching the
+            # countDistinct-over-struct semantics of the paired count
+            # pass: pc.equal yields null when either side is null (a
+            # null text → null sha2 text_hash), and `~None` raised
+            # TypeError below, failing the whole build on one null key
+            e = pc.fill_null(
+                pc.or_kleene(pc.equal(a, b),
+                             pc.and_(pc.is_null(a), pc.is_null(b))),
+                False)
             eq = e if eq is None else pc.and_(eq, e)
         keep[1:] = ~eq.to_numpy(zero_copy_only=False)
     if prev is not None:

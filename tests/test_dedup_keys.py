@@ -95,3 +95,34 @@ def test_exact_dedup_narrow_matches_semantics(spark):
     out = {r["doc_id"]: r["dup_count"]
            for r in exact_dedup(df).select("doc_id", "dup_count").collect()}
     assert out == {1: 3, 2: 1, 5: 1}
+
+
+def test_build_docs_null_text_does_not_crash(spark, tmp_root):
+    """sha2(null text) → null text_hash: the carry filter's equality
+    must be null-safe (null == null counts as equal, matching the count
+    pass's countDistinct-over-struct), or the whole build dies with
+    `bad operand type for unary ~: NoneType` (r3 ADVICE medium)."""
+    from konlspark import build
+    from konlspark.query import SearchEngine
+    import datetime
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        ("c0", 0, "alpha beta"),
+        ("c0", 1, None),           # null text → null dedup key component
+        ("c0", 1, None),           # identical (key, null) → one survivor
+        ("c1", 0, None),           # different key, null text → own doc
+        ("c1", 1, "gamma delta"),
+    ]
+    tdf = spark.createDataFrame(
+        [(c, t, "user", x, "", ts) for c, t, x in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    root = f"{tmp_root}/null_text_idx"
+    build.build_index(spark, tdf, root)
+    eng = SearchEngine(spark, root)
+    docs = eng.docs.select("doc_id", "text").orderBy("doc_id").collect()
+    # both passes agree: 4 docs, dense ids (count pass counts distinct
+    # struct tuples incl. nulls; rank pass drops the adjacent repeat)
+    assert [r["doc_id"] for r in docs] == [1, 2, 3, 4]
+    assert sum(1 for r in docs if r["text"] is None) == 2
+    assert len(eng) == 4
