@@ -420,25 +420,55 @@ class SearchEngine:
             .limit(k)
         )
 
+    def _per_term_block_stats(self, blocks: DataFrame, k: int) -> DataFrame:
+        """Per-term ``(mw, nb, ms, kth)`` over block METADATA via a
+        two-stage partial top-k — only the k-th largest VALUE is ever
+        needed, never a full per-term sort.
+
+        Stage 1 aggregates per ``(term, input partition)``: count, max
+        salt, and the partition-local top-k of ``block_max_w`` (a sorted
+        ``slice``). Stage 2 merges the ≤k survivors per partition and
+        reads the k-th element of the merged array (or the ``nb``-th
+        when a term has fewer than k blocks — the min of all, matching
+        the old window's ``min(top-k)`` semantics).
+
+        Why not a ``row_number`` window partitioned by term: that is a
+        single-task sort per term — at the 100 TB target a head term has
+        ~10^7–10^9 metadata rows, so the pruning machinery itself would
+        bottleneck on exactly the head terms it exists to prune. Here
+        the wide stage's grouping key includes the partition id, so a
+        head term's metadata spreads over every input partition; the
+        second shuffle carries ≤ k·P tiny arrays. All-JVM codegen."""
+        part = (
+            blocks.select("term", "salt", "block_max_w")
+            .withColumn("_pid", F.spark_partition_id())
+            .groupBy("term", "_pid")
+            .agg(F.count("*").alias("_c"),
+                 F.max("salt").alias("_ms"),
+                 F.slice(F.sort_array(F.collect_list("block_max_w"),
+                                      asc=False), 1, k).alias("_top"))
+        )
+        return (
+            part.groupBy("term")
+            .agg(F.sum("_c").alias("nb"),
+                 F.max("_ms").alias("ms"),
+                 F.reverse(F.array_sort(F.flatten(
+                     F.collect_list("_top")))).alias("_all"))
+            .select("term",
+                    F.element_at("_all", 1).alias("mw"),
+                    "nb", "ms",
+                    F.element_at(
+                        "_all",
+                        F.least(F.lit(k), F.col("nb")).cast("int"))
+                    .alias("kth"))
+        )
+
     def _maxscore_stats(self, blocks: DataFrame, k: int) -> list:
         """ONE metadata-only job over the candidate blocks: per term,
         the max block weight (→ σ), the k-th largest block weight (→ a
         provable τ lower bound), the block count and the salt-split
         count (→ block-span estimate). Never decodes."""
-        from pyspark.sql import Window
-        w = Window.partitionBy("term").orderBy(
-            F.desc("block_max_w"), F.asc("block_seq"), F.asc("salt"))
-        return (
-            blocks.select("term", "salt", "block_seq", "block_max_w")
-            .withColumn("_rk", F.row_number().over(w))
-            .groupBy("term").agg(
-                F.max("block_max_w").alias("mw"),
-                F.count("*").alias("nb"),
-                F.max("salt").alias("ms"),
-                F.min(F.when(F.col("_rk") <= k,
-                             F.col("block_max_w"))).alias("kth"))
-            .collect()
-        )
+        return self._per_term_block_stats(blocks, k).collect()
 
     def _maxscore_topk(self, meta: Dict[str, dict], idf: Dict[str, float],
                        k: int) -> Optional[DataFrame]:
@@ -670,21 +700,11 @@ class SearchEngine:
         Keep block B of term t iff ub(B) + Σ_{t'≠t} σ_{t'} ≥ τ: every
         doc with true score ≥ τ survives in *all* its blocks (score
         exact); pruned docs have true score < τ and cannot displace the
-        top-k. The per-term k-th largest uses a row_number window over
-        metadata rows only (~df/block_size rows per term).
+        top-k. The per-term k-th largest comes from the two-stage
+        partial top-k (:meth:`_per_term_block_stats`) — never a
+        single-task per-term window sort.
         """
-        from pyspark.sql import Window
-        w = Window.partitionBy("term").orderBy(
-            F.desc("block_max_w"), F.asc("block_seq"), F.asc("salt"))
-        stats = (
-            blocks.select("term", "salt", "block_seq", "block_max_w")
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= k)
-            .groupBy("term").agg(F.max("block_max_w").alias("mw"),
-                                 F.count("*").alias("nb"),
-                                 F.min("block_max_w").alias("kth"))
-            .collect()
-        )
+        stats = self._per_term_block_stats(blocks, k).collect()
         if not stats:
             return blocks
         sigma = {r["term"]: idf[r["term"]] * r["mw"] for r in stats}

@@ -44,7 +44,8 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted")
         print(f"\n{'='*72}\n## {title}\n{'='*72}\n{plan}")
         for e in expect:
-            ok = e in plan
+            # "!X" asserts X is ABSENT from the plan
+            ok = (e[1:] not in plan) if e.startswith("!") else (e in plan)
             checks.append((title, e, ok))
 
     meta = eng._term_meta(["마법", "특별"])
@@ -54,6 +55,13 @@ def main() -> None:
     show("BM25 top-k (exact)", eng.bm25_topk(["마법", "특별"], k=10,
                                              use_wand=False),
          ["TakeOrderedAndProject", "HashAggregate"])
+    # the WAND/MaxScore metadata pass must be a two-stage PARTIAL
+    # top-k (per-(term, input-partition) aggregate, then a merge of ≤k
+    # survivors) — a Window over `term` is a single-task sort on a head
+    # term's ~10^7-10^9 metadata rows at the 100 TB target
+    show("per-term block stats (two-stage partial top-k, no window)",
+         eng._per_term_block_stats(blocks, 10),
+         ["ObjectHashAggregate", "partial_collect_list", "!Window"])
     show("AND search", eng.search(["마법", "특별"], "and", log=False),
          ["HashAggregate"])
     show("docs point get", eng.get(10),
