@@ -505,9 +505,10 @@ class SearchEngine:
         5. When the estimate pays, NE blocks are pruned by a
            doc-id-range semi-join against the candidates on metadata
            columns that already exist (``first_doc_id``/``last_doc_id``,
-           build.py POSTINGS_SCHEMA): an equi-join on ``term`` plus a
-           range predicate — probe work O(n_blocks_NE × |candidates| /
-           parallelism) long-compares, bounded by the df pre-gate
+           build.py POSTINGS_SCHEMA): the distinct candidate ids are
+           broadcast and the range predicate alone decides survival —
+           probe work O(n_blocks_NE × |candidates| / parallelism)
+           long-compares, bounded by the df pre-gate
            (``MAXSCORE_MAX_CANDIDATES``). Every posting of a candidate
            lives in a block whose range contains the candidate's id,
            so kept blocks cover ALL candidate contributions → final
@@ -627,22 +628,28 @@ class SearchEngine:
             fn, "doc_id long, score double")
         part_df = self.spark.createDataFrame(
             pdf, "doc_id long, score double")
-        return (
+        plan = (
             ne_scores.unionByName(part_df)
             .groupBy("doc_id").agg(F.sum("score").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+        # materialize the (≤k-row) result NOW so the candidate-id
+        # broadcast can be released — long-lived engines otherwise
+        # accumulate one block-manager broadcast per rare+head query
+        rows = plan.collect()
+        b_cand.unpersist()
+        return self.spark.createDataFrame(rows, "doc_id long, score double")
 
     def _maxscore_distributed(self, meta, idf, k, E, NE, prune_pays,
                               blocks_e) -> Optional[DataFrame]:
         """Large-candidate path (Σ df(essential) beyond the driver
         bound): partial scores stay a persisted DataFrame; NE blocks
         are pruned by a doc-id-range semi-join on the metadata columns
-        (broadcast of the candidate×term pairs; equi-join on ``term``
-        plus a range predicate). The candidate range for the density
-        estimate comes from the E terms' block metadata (min first /
-        max last — no extra job)."""
+        (broadcast of the distinct candidate ids, range predicate
+        alone). The candidate range for the density estimate comes
+        from the E terms' block metadata (min first / max last — no
+        extra job)."""
         from pyspark import StorageLevel
         rng = blocks_e.agg(F.min("first_doc_id").alias("lo"),
                            F.max("last_doc_id").alias("hi")).collect()[0]
@@ -655,14 +662,16 @@ class SearchEngine:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         cand = partial.select("doc_id")
-        ne_terms = self.spark.createDataFrame(
-            [(t,) for t in NE], "term string")
-        cand_terms = cand.crossJoin(F.broadcast(ne_terms))
         blocks_ne = self._blocks_for({t: meta[t] for t in NE})
+        # broadcast the candidate ids ALONE and keep any block whose
+        # [first, last] range contains one: the old candidate×NE-term
+        # crossJoin made the broadcast |NE|× larger for zero extra
+        # pruning (the term equi-join was vacuous — every candidate was
+        # paired with every NE term, so the range predicate alone
+        # decided survival)
         kept = blocks_ne.alias("b").join(
-            F.broadcast(cand_terms).alias("c"),
-            (F.col("b.term") == F.col("c.term"))
-            & (F.col("c.doc_id") >= F.col("b.first_doc_id"))
+            F.broadcast(cand).alias("c"),
+            (F.col("c.doc_id") >= F.col("b.first_doc_id"))
             & (F.col("c.doc_id") <= F.col("b.last_doc_id")),
             "left_semi")
         # candidate restriction is valid regardless of block pruning:
@@ -680,8 +689,13 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
-        out._konl_persisted = partial  # type: ignore[attr-defined]
-        return out
+        # materialize the (≤k-row) result NOW and release the persisted
+        # partials — public bm25_topk callers have no handle to
+        # unpersist, so a lazy return leaked one block-manager entry
+        # per large-candidate query on long-lived engines
+        rows = out.collect()
+        partial.unpersist()
+        return self.spark.createDataFrame(rows, "doc_id long, score double")
 
     def _wand_prune(self, blocks: DataFrame, meta: Dict[str, dict],
                     idf: Dict[str, float], k: int) -> DataFrame:

@@ -168,3 +168,33 @@ def test_maxscore_handles_k_exceeding_candidates(zipf_engine):
     k = min(rare_df + 50, 300)
     assert _topk(eng, [rare, head], k, True) == \
         _topk(eng, [rare, head], k, False)
+
+
+def test_maxscore_paths_leak_no_resources(clustered_engine, spark):
+    """Public bm25_topk callers get no unpersist handle, so BOTH
+    MaxScore paths must release their persisted partials / candidate
+    broadcast before returning (r3 ADVICE: long-lived engines
+    accumulated one block-manager entry per rare+head query)."""
+    from konlspark.oracle import bm25_idf
+    eng = clustered_engine
+    meta = eng._term_meta(["rareterm", "headterm"])
+    idf = {t: bm25_idf(eng.n_docs, m["df"]) for t, m in meta.items()}
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    out = eng._maxscore_topk(meta, idf, 10)          # driver path
+    assert out is not None and len(out.collect()) > 0
+    assert n_persisted() == base
+    assert getattr(out, "_konl_persisted", None) is None
+
+    old = eng.MAXSCORE_DRIVER_CANDIDATES
+    eng.MAXSCORE_DRIVER_CANDIDATES = 0               # force distributed
+    try:
+        out = eng._maxscore_topk(meta, idf, 10)
+        assert out is not None and len(out.collect()) > 0
+        assert n_persisted() == base
+        assert getattr(out, "_konl_persisted", None) is None
+    finally:
+        eng.MAXSCORE_DRIVER_CANDIDATES = old
