@@ -199,11 +199,15 @@ def delete_docs(spark: SparkSession, root: str,
     if tables["tombstones"]:
         live = live.join(_read_parts(spark, cat, manifest, "tombstones"),
                          "doc_id", "left_anti")
-    victims = live.filter(F.col("doc_id").isin(list(doc_ids)))
+    # persist: the stats agg and the df_delta explode below both read
+    # the victims (a tiny set) — without this the delete ran two full
+    # scans of the live docs
+    victims = live.filter(F.col("doc_id").isin(list(doc_ids))).persist()
     stats = victims.agg(F.count("*").alias("n"),
                         F.sum("doc_len").alias("sum_len")).collect()[0]
     n_del = int(stats["n"])
     if n_del == 0:
+        victims.unpersist()
         return {"deleted": 0}
     part = f"tomb_{int(manifest.get('next_part', 1)):06d}"
     spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long") \
@@ -219,6 +223,7 @@ def delete_docs(spark: SparkSession, root: str,
     dd = (victims.select(F.explode("tokens").alias("term"))
           .groupBy("term").agg(F.count("*").alias("dd")))
     dd.write.mode("overwrite").parquet(cat.table_path(f"df_delta/{part}"))
+    victims.unpersist()
 
     manifest["tables"]["tombstones"].append(f"tombstones/{part}")
     manifest["tables"].setdefault("df_delta", []).append(f"df_delta/{part}")

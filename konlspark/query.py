@@ -837,23 +837,30 @@ class SearchEngine:
         rows logged."""
         from pyspark.sql import Window
         self._require_writable("query logging")
+        # persist: the semi-join must execute ONCE — the count job
+        # fills the cache, the write below reads from it (without this
+        # the same lineage recomputed for the write)
         hits = (tokens_df.select(F.col("token").cast("string"))
                 .join(self.token_dict.select(F.col("term").alias("token")),
-                      "token", "left_semi"))
-        n = hits.count()
-        if n == 0:
-            return 0
-        last = self._last_log_seq()
-        self.cat.marker_reserve("query_log", last + n)
-        w = Window.orderBy("token")  # one coalesced partition: cheap & stable
-        out = (hits.coalesce(1)
-               .withColumn("seq_id",
-                           (F.row_number().over(w) + F.lit(last)).cast("long"))
-               .withColumn("ts", F.current_timestamp())
-               .withColumn("size", F.lit(1).cast("int"))
-               .select("seq_id", "ts", "token", "size"))
-        out.write.mode("append").parquet(self.cat.table_path("query_log"))
-        return n
+                      "token", "left_semi")
+                .persist())
+        try:
+            n = hits.count()
+            if n == 0:
+                return 0
+            last = self._last_log_seq()
+            self.cat.marker_reserve("query_log", last + n)
+            w = Window.orderBy("token")  # one coalesced partition: stable
+            out = (hits.coalesce(1)
+                   .withColumn("seq_id", (F.row_number().over(w)
+                                          + F.lit(last)).cast("long"))
+                   .withColumn("ts", F.current_timestamp())
+                   .withColumn("size", F.lit(1).cast("int"))
+                   .select("seq_id", "ts", "token", "size"))
+            out.write.mode("append").parquet(self.cat.table_path("query_log"))
+            return n
+        finally:
+            hits.unpersist()
 
     def aggregate_frequency(self) -> None:
         """Incremental: log rows past the stored offset are summed into

@@ -66,3 +66,27 @@ def test_log_query_tokens_driver_free_batch(spark, title_index):
     assert [r["seq_id"] for r in logged] == [last_before + 1,
                                              last_before + 2,
                                              last_before + 3]
+
+
+def test_log_query_tokens_single_input_execution(spark, title_index):
+    """The hit semi-join input must execute exactly ONCE per call
+    (r3 verdict: the count job and the write both recomputed the same
+    lineage). An accumulator inside the input counts passes."""
+    from konlspark.query import SearchEngine
+    root, _ = title_index
+    eng = SearchEngine(spark, root)
+    t1, t2 = sorted(r["term"] for r in
+                    eng.token_dict.select("term").limit(2).collect())
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(t1,), (t2,), ("zzz-no-such-term",), (t1,)], "token string")
+    toks = base.repartition(2).mapInPandas(counted, "token string")
+    n = eng.log_query_tokens(toks)
+    assert n == 3
+    assert acc.value == 4  # one pass over the 4 input rows, not two
