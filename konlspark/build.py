@@ -148,7 +148,7 @@ def assign_doc_ids(df: DataFrame, order_cols: Tuple[str, ...] = ("conv_id", "tur
     ``dedup_keys``: optional column tuple — among rows EQUAL on all of
     them, exactly one survives (see :func:`_prepare_ranked`).
     """
-    ranged, b_off, out_schema, _, n_rows = _prepare_ranked(
+    ranged, b_off, out_schema, n_dropped, n_rows = _prepare_ranked(
         df, order_cols, num_partitions, start_id, dedup_keys=dedup_keys)
     out = ranged.mapInArrow(
         _make_rank_fn(b_off, out_schema, dedup_keys=dedup_keys), out_schema)
@@ -157,6 +157,7 @@ def assign_doc_ids(df: DataFrame, order_cols: Tuple[str, ...] = ("conv_id", "tur
     out._konl_persisted = ranged  # type: ignore[attr-defined]
     out._konl_n_rows = n_rows  # type: ignore[attr-defined]
     out._konl_max_id = start_id + n_rows - 1  # type: ignore[attr-defined]
+    out._konl_n_dropped = n_dropped  # type: ignore[attr-defined]
     return out
 
 

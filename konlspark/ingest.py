@@ -153,6 +153,22 @@ def append_batch(spark: SparkSession, root: str,
                 .groupBy("conv_id", "turn_idx")
                 .agg(F.min("conflict_doc_id").alias("conflict_doc_id")))
     conflicts = vs_existing.unionByName(in_batch)
+    n_dropped = int(getattr(new_ids, "_konl_n_dropped", 0) or 0)
+    if n_dropped > 0:
+        # fully-identical duplicate rows (same key AND text) dropped by
+        # the ranked pass pass the winner-key filter, so they appeared
+        # in neither loser set — the conflicts TABLE undercounted vs
+        # the reported lineage count (r3 ADVICE). Mirror build_docs:
+        # surface each dropped copy, resolving to the new doc's id.
+        # Runs only on degenerate inputs (n_dropped > 0).
+        key_cnt = (survivors.groupBy("text_hash", "conv_id", "turn_idx")
+                   .agg(F.count("*").alias("_kc")).filter(F.col("_kc") > 1))
+        extra = (key_cnt
+                 .withColumn("_i", F.explode(
+                     F.sequence(F.lit(2), F.col("_kc"))))
+                 .join(all_docs_after, "text_hash")
+                 .select("conv_id", "turn_idx", "conflict_doc_id"))
+        conflicts = conflicts.unionByName(extra)
     conflicts.write.mode("append").parquet(cat.table_path("conflicts"))
     n_conflicts = rows_in - n_new  # no input re-scan
 

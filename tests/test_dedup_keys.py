@@ -85,6 +85,16 @@ def test_append_batch_duplicate_key_and_derived_counts(spark, tmp_root):
     eng = SearchEngine(spark, root)
     texts = sorted(r["text"] for r in eng.docs.select("text").collect())
     assert texts == ["base text", "fresh one", "fresh two"]
+    # the conflicts TABLE must carry the same rows as the reported
+    # count — incl. the identical-key dropped copy (r3 ADVICE): the
+    # ("c1", 2) copy resolves to the NEW "fresh two" doc id
+    conflicts = spark.read.parquet(f"{root}/conflicts").collect()
+    assert len(conflicts) == res["conflicts"]
+    by_key = {(r["conv_id"], r["turn_idx"]): r["conflict_doc_id"]
+              for r in conflicts}
+    fresh_two_id = eng.docs.filter("text = 'fresh two'") \
+        .collect()[0]["doc_id"]
+    assert by_key[("c1", 2)] == fresh_two_id
 
 
 def test_exact_dedup_narrow_matches_semantics(spark):
