@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``.
 
 The Spark-side contract is real and tested — schemas, Arrow batch
-shapes, ``mapInPandas`` signatures, partitioning — while the actual
-media decode is STUBBED (this container has no image/audio libraries):
-``decoder="fake"`` produces deterministic synthetic features from the
-bytes (so pipelines are testable end-to-end); ``decoder="real"`` raises
-``NotImplementedError`` at the exact point a PIL/ffmpeg call would go.
+shapes, ``mapInPandas`` signatures, partitioning. The decode step
+probes the EXECUTOR environment: image (PIL) and audio (soundfile)
+real feature paths run when the library is present; this container has
+neither, so ``decoder="fake"`` produces deterministic synthetic
+features from the bytes (pipelines testable end-to-end),
+``decoder="auto"`` stubs only what the probe can't route (video always
+— no ffmpeg path), and ``decoder="real"`` raises
+``NotImplementedError`` at the exact point the missing call would go.
 
 Pattern: media rows are big — keep them in their own table keyed by
 ``media_id``, repartition by size-aware ranges before the decode stage
@@ -77,6 +80,44 @@ def _real_image_features(blob: bytes) -> "np.ndarray":
     return np.asarray(img, dtype=np.float32).reshape(FEATURE_DIM) / 255.0
 
 
+def _real_audio_features(blob: bytes) -> "np.ndarray":
+    """soundfile path (only reached when the probe found soundfile):
+    decode to mono float32, split the sample stream into FEATURE_DIM
+    contiguous time slices, mean |amplitude| per slice → 32 floats —
+    deterministic, library-true."""
+    import io
+
+    import soundfile
+    data, _sr = soundfile.read(io.BytesIO(blob), dtype="float32",
+                               always_2d=True)
+    mono = np.abs(data).mean(axis=1) if data.size else np.zeros(1, "float32")
+    return np.array([s.mean() if s.size else 0.0
+                     for s in np.array_split(mono, FEATURE_DIM)],
+                    dtype=np.float32)
+
+
+def _decode_one(kind: str, blob: bytes, caps: dict, decoder: str
+                ) -> "np.ndarray":
+    """Per-blob decode routing (module-level so the routing is unit-
+    testable without Spark executors): real decode where the executor
+    probe found the library, deterministic sha256 stub otherwise;
+    ``decoder="real"`` refuses to stub."""
+    if decoder != "fake":
+        if kind == "image" and caps.get("image"):
+            return _real_image_features(bytes(blob))
+        if kind == "audio" and caps.get("audio"):
+            return _real_audio_features(bytes(blob))
+    # video real decode (ffmpeg frame-sample) absent in any supported
+    # environment here — see frame_sample_plan for the plumbing
+    if decoder == "real" and not caps.get(kind, False):
+        raise NotImplementedError(
+            f"real {kind} decode requires PIL/soundfile/ffmpeg "
+            "(use decoder='auto' to fall back to the stub)")
+    d = hashlib.sha256(bytes(blob)).digest()
+    return (np.frombuffer(d, dtype=np.uint8)[:FEATURE_DIM]
+            .astype(np.float32) / 255.0)
+
+
 def extract_features(media: DataFrame, decoder: str = "fake",
                      batch_bytes: int = 64 << 20) -> DataFrame:
     """media → (media_id, kind, n_bytes, feature: array<float>).
@@ -101,24 +142,11 @@ def extract_features(media: DataFrame, decoder: str = "fake",
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         caps = _probe_decoders() if decoder in ("real", "auto") else {}
 
-        def one(kind: str, blob: bytes) -> np.ndarray:
-            if decoder != "fake" and kind == "image" and caps.get("image"):
-                return _real_image_features(bytes(blob))
-            # audio/video real paths would go here (soundfile / ffmpeg
-            # frame-sample); absent in this environment
-            if decoder == "real" and not caps.get(kind, False):
-                raise NotImplementedError(
-                    f"real {kind} decode requires PIL/soundfile/ffmpeg "
-                    "(use decoder='auto' to fall back to the stub)")
-            d = hashlib.sha256(bytes(blob)).digest()
-            return (np.frombuffer(d, dtype=np.uint8)[:FEATURE_DIM]
-                    .astype(np.float32) / 255.0)
-
         for pdf in batches:
             if decoder == "fake":
                 feats = list(_fake_features(pdf["payload"]))
             else:
-                feats = [one(k, b) for k, b in
+                feats = [_decode_one(k, b, caps, decoder) for k, b in
                          zip(pdf["kind"], pdf["payload"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].to_numpy(),

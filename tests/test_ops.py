@@ -180,3 +180,42 @@ def test_multimodal_plumbing(spark):
     plan = multimodal.frame_sample_plan(media, every_ms=500)
     assert plan.count() > 0
     assert plan.columns == ["media_id", "frame_ts_ms"]
+
+
+def test_audio_decode_routing_with_fake_soundfile(monkeypatch):
+    """decoder='auto' must route audio through the real soundfile path
+    when the executor probe finds the library (r3 verdict: audio fell
+    silently to the stub even with soundfile present). A fake
+    `soundfile` module exercises probe + routing without the library."""
+    import sys
+    import types
+
+    import numpy as np
+
+    samples = np.linspace(-1.0, 1.0, 640, dtype=np.float32).reshape(-1, 1)
+    fake = types.ModuleType("soundfile")
+
+    def fake_read(fileobj, dtype="float32", always_2d=True):
+        assert fileobj.read(4) is not None  # receives the blob bytes
+        return samples, 16000
+
+    fake.read = fake_read
+    monkeypatch.setitem(sys.modules, "soundfile", fake)
+
+    caps = multimodal._probe_decoders()
+    assert caps["audio"] is True
+
+    got = multimodal._decode_one("audio", b"riff-ish-bytes", caps, "auto")
+    mono = np.abs(samples).mean(axis=1)
+    want = np.array([s.mean() for s in
+                     np.array_split(mono, multimodal.FEATURE_DIM)],
+                    dtype=np.float32)
+    assert got.shape == (multimodal.FEATURE_DIM,)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # and it is NOT the sha256 stub
+    stub = multimodal._decode_one("audio", b"riff-ish-bytes", {}, "auto")
+    assert not np.allclose(got, stub)
+    # video still stubs under auto (no ffmpeg path), refuses under real
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal._decode_one("video", b"x", caps, "real")
