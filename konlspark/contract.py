@@ -13,6 +13,7 @@ whole scoring pipeline spelled out in ANSI SQL.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 from typing import Callable, Dict
@@ -58,6 +59,19 @@ _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
 # ---------------------------------------------------------------------------
 
 _ENGINE_CACHE: Dict[str, str] = {}
+
+
+def _cleanup_engine_roots() -> None:
+    """Remove the per-process contract index roots at interpreter exit
+    (r3 verdict: /tmp/konlspark_contract_<pid>_* accumulated across
+    sweeps). Registered once at import; idempotent."""
+    import shutil
+    for root in _ENGINE_CACHE.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _ENGINE_CACHE.clear()
+
+
+atexit.register(_cleanup_engine_roots)
 
 
 def _engine_root(spark: SparkSession, sf_dir: str) -> str:
