@@ -67,11 +67,41 @@ def maxscore_reduction(eng, rh_terms) -> dict:
     }
 
 
-def check_golden(eng, manifest, n_turns, args, cluster_rows) -> str:
+ANCHOR_MAX_TURNS = 150_000  # oracle-anchor goldens up to this size
+
+
+def _anchor_against_oracle(tdf, bm25_got) -> None:
+    """Absolute anchor for a bench-scale golden: replay the SAME corpus
+    through the single-node oracle (id assignment included — same
+    input order, same keep-first dedup) and require the engine's
+    bm25_top10 to match it. Without this, a scale bug present at FIRST
+    golden recording would be enshrined (the golden check alone only
+    catches later regressions)."""
+    from konlspark.oracle import OracleIndex
+    rows = (tdf.select("conv_id", "turn_idx", "text")
+            .orderBy("conv_id", "turn_idx").collect())
+    ix = OracleIndex()
+    ix.index_all([r["text"] for r in rows])
+    want = dict(ix.bm25_topk(["마법", "특별"], k=10))
+    got = {doc_id: score for doc_id, score in bm25_got}
+    if set(want) != set(got) or any(
+            abs(want[i] - got[i]) > 2e-6 for i in want):
+        print(json.dumps({"oracle_anchor_mismatch": {
+            "want": sorted(want.items()), "got": sorted(got.items())}}),
+            file=sys.stderr)
+        raise SystemExit("ORACLE ANCHOR MISMATCH at bench scale — the "
+                         "golden would have enshrined a scale bug")
+
+
+def check_golden(eng, manifest, n_turns, args, cluster_rows,
+                 tdf=None) -> str:
     """Exact-result assertion at bench scale (reference kowiki.py:42-102
     asserts 300+ exact doc ids over 1.4M titles). Returns 'recorded' on
     first sight of this corpus key, 'ok' when results match the stored
-    golden; raises SystemExit on mismatch."""
+    golden; raises SystemExit on mismatch. New keys small enough for
+    the single-node oracle (or any key under --anchor-oracle) are
+    additionally anchored against it — first-sight goldens are then
+    oracle-anchored, not merely self-consistent."""
     import hashlib
 
     key = (f"turns{n_turns}_seed42_w{args.min_words}-{args.max_words}"
@@ -91,19 +121,29 @@ def check_golden(eng, manifest, n_turns, args, cluster_rows) -> str:
     if os.path.exists(GOLDENS_PATH):
         with open(GOLDENS_PATH) as f:
             goldens = json.load(f)
-    if key in goldens:
+    anchors = goldens.setdefault("_oracle_anchored", {})
+    is_new = key not in goldens
+    if not is_new:
         want = goldens[key]
         if want != got:
             print(json.dumps({"golden_mismatch": {
                 "key": key, "want": want, "got": got}}), file=sys.stderr)
             raise SystemExit(f"GOLDEN MISMATCH at bench scale ({key}) — "
                              "scale-only correctness bug")
-        return "ok"
-    goldens[key] = got
-    os.makedirs(os.path.dirname(GOLDENS_PATH), exist_ok=True)
-    with open(GOLDENS_PATH, "w") as f:
-        json.dump(goldens, f, indent=1, sort_keys=True)
-    return "recorded"
+    status = "recorded" if is_new else "ok"
+    force = getattr(args, "anchor_oracle", False)
+    if tdf is not None and not anchors.get(key) and (
+            force or (is_new and n_turns <= ANCHOR_MAX_TURNS)):
+        _anchor_against_oracle(tdf, got["bm25_top10"])
+        anchors[key] = True
+        status += "+anchored"
+        is_new = True  # rewrite the file with the anchor flag
+    if is_new:
+        goldens[key] = got
+        os.makedirs(os.path.dirname(GOLDENS_PATH), exist_ok=True)
+        with open(GOLDENS_PATH, "w") as f:
+            json.dump(goldens, f, indent=1, sort_keys=True)
+    return status
 
 
 def main() -> None:
@@ -120,6 +160,9 @@ def main() -> None:
                          "tens of words, making the build compute-bound")
     ap.add_argument("--segments", type=int, default=1)
     ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--anchor-oracle", action="store_true",
+                    help="force oracle-anchoring the golden for this "
+                         "corpus key even if already recorded")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F  # noqa: F401
@@ -183,7 +226,8 @@ def main() -> None:
     # correctness bug (block boundaries, salt merge, varint overflow,
     # dedup drift) that small fixtures cannot catch.
     eng = SearchEngine(spark, root)
-    golden_checked = check_golden(eng, manifest, n_turns, args, cluster_rows)
+    golden_checked = check_golden(eng, manifest, n_turns, args,
+                                  cluster_rows, tdf=tdf)
     extras["golden"] = golden_checked
 
     if not args.build_only:
@@ -211,18 +255,26 @@ def main() -> None:
                 ts.append(time.time() - t0)
             timings[name] = round(min(ts), 3)
 
-        timed2("q10_bm25_wand", lambda: eng.bm25_topk(
+        # the wand-vs-exact guard pairs: registered so a failing pair
+        # can be re-timed once (see guard below)
+        guard_fns = {}
+
+        def guarded2(name, fn):
+            guard_fns[name] = fn
+            timed2(name, fn)
+
+        guarded2("q10_bm25_wand", lambda: eng.bm25_topk(
             ["마법", "특별"], k=10, use_wand=True).collect())
-        timed2("q10_bm25_exact", lambda: eng.bm25_topk(
+        guarded2("q10_bm25_exact", lambda: eng.bm25_topk(
             ["마법", "특별"], k=10, use_wand=False).collect())
         timed("q10_bm25_3term", lambda: eng.bm25_topk(
             ["spark", "query", "index"], k=10, use_wand=True).collect())
         # single-term: the case where block-max pruning genuinely fires
         # (k-th block max kills ~98% of blocks); the pair below is the
         # wand<=exact guard the gate is tuned against
-        timed2("q10_bm25_1term_wand", lambda: eng.bm25_topk(
+        guarded2("q10_bm25_1term_wand", lambda: eng.bm25_topk(
             ["마법"], k=10, use_wand=True).collect())
-        timed2("q10_bm25_1term_exact", lambda: eng.bm25_topk(
+        guarded2("q10_bm25_1term_exact", lambda: eng.bm25_topk(
             ["마법"], k=10, use_wand=False).collect())
         # rare+head: the distributed-MaxScore regime — 'topicmarker' is
         # the clustered rare term, paired with the highest-df head term.
@@ -240,9 +292,9 @@ def main() -> None:
         rh_exact = [(r["doc_id"], round(r["score"], 6)) for r in
                     eng.bm25_topk(rh, k=10, use_wand=False).collect()]
         assert rh_wand == rh_exact, ("MaxScore != exact", rh_wand, rh_exact)
-        timed2("q10_bm25_rare_head_wand", lambda: eng.bm25_topk(
+        guarded2("q10_bm25_rare_head_wand", lambda: eng.bm25_topk(
             rh, k=10, use_wand=True).collect())
-        timed2("q10_bm25_rare_head_exact", lambda: eng.bm25_topk(
+        guarded2("q10_bm25_rare_head_exact", lambda: eng.bm25_topk(
             rh, k=10, use_wand=False).collect())
         extras.update(maxscore_reduction(eng, rh))
         timed("q2_or_search", lambda: eng.search(
@@ -269,13 +321,28 @@ def main() -> None:
         n_q = sum(1 for k in timings if k.startswith("q"))
         extras["search_queries_per_sec"] = (
             round(n_q / q_total, 3) if q_total else 0.0)
-        # guard: pruned path must not lose to exact where the gate fires
-        extras["wand_le_exact"] = bool(
-            timings["q10_bm25_wand"] <= timings["q10_bm25_exact"] * 1.15
-            and timings["q10_bm25_1term_wand"]
-                <= timings["q10_bm25_1term_exact"] * 1.15
-            and timings["q10_bm25_rare_head_wand"]
-                <= timings["q10_bm25_rare_head_exact"] * 1.15)
+        # guard: pruned path must not lose to exact where the gate
+        # fires. SELF-ENFORCING (r3 shipped a red guard as a green
+        # round): a failing pair is re-timed once — min-of-3 both
+        # sides, so a transient host-noise spike washes out — and a
+        # persistent failure exits nonzero below, after the JSON line.
+        pairs = [("q10_bm25_wand", "q10_bm25_exact"),
+                 ("q10_bm25_1term_wand", "q10_bm25_1term_exact"),
+                 ("q10_bm25_rare_head_wand", "q10_bm25_rare_head_exact")]
+
+        def failing_pairs():
+            return [w for w, e in pairs
+                    if timings[w] > timings[e] * 1.15]
+
+        retried = []
+        for w in failing_pairs():
+            e = dict(pairs)[w]
+            retried.append(w)
+            timed2(w, guard_fns[w])
+            timed2(e, guard_fns[e])
+        if retried:
+            extras["wand_guard_retried"] = retried
+        extras["wand_le_exact"] = not failing_pairs()
 
     total = time.time() - t_start
     out = {
@@ -289,6 +356,10 @@ def main() -> None:
     }
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
+    if out.get("wand_le_exact") is False:
+        # red guard after a retry: make the failure impossible to
+        # commit silently as a green round
+        sys.exit(1)
 
 
 if __name__ == "__main__":
