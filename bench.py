@@ -307,6 +307,18 @@ def main() -> None:
 
         # training-data ops over the driver tables at sf_dir
         qs = contract.queries()
+        # warm the non-engine ops at the sibling small sf (same plan
+        # SHAPES → whole-stage-codegen cache hits) so the timed run
+        # measures steady-state throughput, not one-time Janino
+        # compilation — the same policy the query warm-up above states
+        warm_dir = os.path.join(
+            os.path.dirname(args.sf_dir.rstrip("/")), "sf0.01")
+        if os.path.isdir(warm_dir) and \
+                warm_dir != args.sf_dir.rstrip("/"):
+            for name in ["d1_word_jaccard_pairs", "d4_minhash_lsh_pairs",
+                         "d5_simhash_pairs", "v1_cosine_topk",
+                         "t1_token_counts", "j1_join_nation_revenue"]:
+                qs[name](spark, warm_dir).collect()
         # q7's first call seeds the query log + runs the one-time
         # frequency aggregation (ingest work, idempotent); time the
         # steady-state query, not the seeding
