@@ -198,3 +198,33 @@ def test_maxscore_paths_leak_no_resources(clustered_engine, spark):
         assert getattr(out, "_konl_persisted", None) is None
     finally:
         eng.MAXSCORE_DRIVER_CANDIDATES = old
+
+
+def test_per_term_block_stats_semantics(clustered_engine, spark):
+    """The two-stage partial top-k must reproduce the old window
+    semantics exactly: mw = max, nb = count, ms = max salt, kth = k-th
+    largest block_max_w (min of all when a term has < k blocks)."""
+    eng = clustered_engine
+    rows = [
+        # term a: 5 blocks across salts, known weights
+        ("a", 0, 0, 9.0), ("a", 0, 1, 7.0), ("a", 1, 0, 8.0),
+        ("a", 1, 1, 3.0), ("a", 2, 0, 5.0),
+        # term b: fewer blocks than k
+        ("b", 0, 0, 2.0), ("b", 0, 1, 4.0),
+        # term c: one block
+        ("c", 0, 0, 1.5),
+    ]
+    blocks = spark.createDataFrame(
+        rows, "term string, salt int, block_seq int, block_max_w double"
+    ).repartition(5)  # spread rows over partitions: the two-stage merge
+    for k, want in [
+        (3, {"a": (9.0, 5, 2, 7.0), "b": (4.0, 2, 0, 2.0),
+             "c": (1.5, 1, 0, 1.5)}),
+        (1, {"a": (9.0, 5, 2, 9.0), "b": (4.0, 2, 0, 4.0),
+             "c": (1.5, 1, 0, 1.5)}),
+        (99, {"a": (9.0, 5, 2, 3.0), "b": (4.0, 2, 0, 2.0),
+              "c": (1.5, 1, 0, 1.5)}),
+    ]:
+        got = {r["term"]: (r["mw"], r["nb"], r["ms"], r["kth"])
+               for r in eng._per_term_block_stats(blocks, k).collect()}
+        assert got == want, (k, got, want)

@@ -105,10 +105,19 @@ def run_once(cores: int, sf_dir: str, turns: int) -> dict:
            sys.executable, os.path.join(REPO, "bench.py"),
            "--cores", str(cores), "--sf-dir", sf_dir, "--build-only",
            "--turns", str(turns)]
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True,
-                         env=env)
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    # one retry: a transient leg failure (JVM OOM-kill under neighbor
+    # pressure, /dev/shm blip) must not kill a 25-minute session; the
+    # child's stderr is surfaced either way instead of being swallowed
+    # inside CalledProcessError
+    for attempt in (1, 2):
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        lines = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith("{")]
+        if out.returncode == 0 and lines:
+            return json.loads(lines[-1])
+        print(f"leg FAILED (attempt {attempt}, rc={out.returncode}) "
+              f"{cores}c/{turns}t:\n{out.stderr[-3000:]}", file=sys.stderr)
+    raise SystemExit(f"scaling leg failed twice: {cores}c/{turns}t")
 
 
 def interleaved_rounds(configs: list, sf_dir: str, repeats: int) -> dict:
