@@ -377,10 +377,15 @@ def build_docs(transcripts: DataFrame,
         # fully-identical duplicate rows were dropped in the ranked pass
         # — surface each dropped copy in the CONFLICT report (one narrow
         # aggregate, run only on degenerate inputs)
+        # survivorship mirror, null-safe (r4 ADVICE class): the main
+        # path left-equi-joins on text_hash (NULL hash never matches →
+        # _wk stays null → row survives), so the extra-loser condition
+        # must be the SAME left join + (_wk IS NULL OR key == _wk) —
+        # an inner join dropped null-text duplicate groups entirely
         key_cnt = (hashed.groupBy("text_hash", "conv_id", "turn_idx")
                    .agg(F.count("*").alias("_kc")).filter(F.col("_kc") > 1))
-        extra = (key_cnt.join(dup_winners, "text_hash")
-                 .filter(key == F.col("_wk"))
+        extra = (key_cnt.join(dup_winners, "text_hash", "left")
+                 .filter(F.col("_wk").isNull() | (key == F.col("_wk")))
                  .withColumn("_i", F.explode(
                      F.sequence(F.lit(2), F.col("_kc"))))
                  .select("conv_id", "turn_idx", "text_hash"))
@@ -576,11 +581,20 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
     # CONFLICT report is independent of everything below — run it as a
     # concurrent job the moment the docs table exists
     def _write_conflicts() -> None:
-        conflicts = (
-            losers.join(docs.select("text_hash",
-                                    F.col("doc_id").alias("conflict_doc_id")),
-                        "text_hash")
-            .select("conv_id", "turn_idx", "conflict_doc_id"))
+        # null-hash losers exist only via the identical-(key, null-text)
+        # extra path, and there the WINNER shares the key — so resolve
+        # non-null losers by hash alone (unchanged equi-join) and null
+        # ones by key; eqNullSafe keeps this a hash-joinable key
+        dsel = docs.select(F.col("text_hash").alias("_dh"),
+                           F.col("conv_id").alias("_dc"),
+                           F.col("turn_idx").alias("_dt"),
+                           F.col("doc_id").alias("conflict_doc_id"))
+        cond = F.col("text_hash").eqNullSafe(F.col("_dh")) & (
+            F.col("text_hash").isNotNull()
+            | (F.col("conv_id").eqNullSafe(F.col("_dc"))
+               & F.col("turn_idx").eqNullSafe(F.col("_dt"))))
+        conflicts = (losers.join(dsel, cond)
+                     .select("conv_id", "turn_idx", "conflict_doc_id"))
         conflicts.write.mode("overwrite").parquet(cat.table_path("conflicts"))
 
     side_threads = [_bg(_write_conflicts)]

@@ -161,12 +161,25 @@ def append_batch(spark: SparkSession, root: str,
         # the reported lineage count (r3 ADVICE). Mirror build_docs:
         # surface each dropped copy, resolving to the new doc's id.
         # Runs only on degenerate inputs (n_dropped > 0).
+        # null-SAFE join (r4 ADVICE): a batch of duplicate
+        # (conv_id, turn_idx, NULL-text) rows has text_hash NULL — a
+        # plain equi-join on text_hash would drop them and undercount
+        # again. The surviving doc shares the full (key, hash) triple,
+        # so join on all three with eqNullSafe; key+hash uniquely
+        # identifies the survivor (identical triples kept exactly one).
         key_cnt = (survivors.groupBy("text_hash", "conv_id", "turn_idx")
                    .agg(F.count("*").alias("_kc")).filter(F.col("_kc") > 1))
+        surv_docs = new_docs.select(
+            F.col("conv_id").alias("_dc"), F.col("turn_idx").alias("_dt"),
+            F.col("text_hash").alias("_dh"),
+            F.col("doc_id").alias("conflict_doc_id"))
         extra = (key_cnt
                  .withColumn("_i", F.explode(
                      F.sequence(F.lit(2), F.col("_kc"))))
-                 .join(all_docs_after, "text_hash")
+                 .join(surv_docs,
+                       F.col("conv_id").eqNullSafe(F.col("_dc"))
+                       & F.col("turn_idx").eqNullSafe(F.col("_dt"))
+                       & F.col("text_hash").eqNullSafe(F.col("_dh")))
                  .select("conv_id", "turn_idx", "conflict_doc_id"))
         conflicts = conflicts.unionByName(extra)
     conflicts.write.mode("append").parquet(cat.table_path("conflicts"))

@@ -636,9 +636,13 @@ class SearchEngine:
         )
         # materialize the (≤k-row) result NOW so the candidate-id
         # broadcast can be released — long-lived engines otherwise
-        # accumulate one block-manager broadcast per rare+head query
-        rows = plan.collect()
-        b_cand.unpersist()
+        # accumulate one block-manager broadcast per rare+head query;
+        # finally: release on collect failure too (executor loss would
+        # otherwise leak the broadcast on a long-lived engine)
+        try:
+            rows = plan.collect()
+        finally:
+            b_cand.unpersist()
         return self.spark.createDataFrame(rows, "doc_id long, score double")
 
     def _maxscore_distributed(self, meta, idf, k, E, NE, prune_pays,
@@ -692,9 +696,12 @@ class SearchEngine:
         # materialize the (≤k-row) result NOW and release the persisted
         # partials — public bm25_topk callers have no handle to
         # unpersist, so a lazy return leaked one block-manager entry
-        # per large-candidate query on long-lived engines
-        rows = out.collect()
-        partial.unpersist()
+        # per large-candidate query on long-lived engines; finally:
+        # release on collect failure too (same leak class, error path)
+        try:
+            rows = out.collect()
+        finally:
+            partial.unpersist()
         return self.spark.createDataFrame(rows, "doc_id long, score double")
 
     def _wand_prune(self, blocks: DataFrame, meta: Dict[str, dict],

@@ -136,3 +136,48 @@ def test_build_docs_null_text_does_not_crash(spark, tmp_root):
     assert [r["doc_id"] for r in docs] == [1, 2, 3, 4]
     assert sum(1 for r in docs if r["text"] is None) == 2
     assert len(eng) == 4
+    # the dropped identical (key, null-text) copy must STILL appear in
+    # the conflicts table, resolving to the surviving null-text doc of
+    # the same key (r4 ADVICE class: null-unsafe hash joins dropped it)
+    conflicts = spark.read.parquet(f"{root}/conflicts").collect()
+    assert len(conflicts) == 1
+    null_doc_id = {(r["conv_id"], r["turn_idx"]): r["doc_id"]
+                   for r in eng.docs.select(
+                       "conv_id", "turn_idx", "doc_id").collect()}
+    assert (conflicts[0]["conv_id"], conflicts[0]["turn_idx"]) == ("c0", 1)
+    assert conflicts[0]["conflict_doc_id"] == null_doc_id[("c0", 1)]
+
+
+def test_append_batch_null_text_duplicate_conflict_parity(spark, tmp_root):
+    """A batch of duplicate (conv_id, turn_idx, NULL-text) rows: the
+    dropped copy must land in the conflicts TABLE (table == reported
+    count) even though text_hash is NULL — the old equi-join on
+    text_hash silently dropped it (r4 ADVICE low)."""
+    from konlspark import build, ingest
+    from konlspark.query import SearchEngine
+    import datetime
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def tdf(rows):
+        return spark.createDataFrame(
+            [(c, t, "user", x, "", ts) for c, t, x in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+
+    root = f"{tmp_root}/null_text_append"
+    build.build_index(spark, tdf([("c0", 0, "base text")]), root)
+    batch = [
+        ("c1", 0, None),  # null text survives as its own doc
+        ("c1", 0, None),  # identical (key, NULL) copy → dropped
+        ("c1", 1, "fresh"),
+    ]
+    res = ingest.append_batch(spark, root, tdf(batch))
+    assert res["indexed"] == 2
+    assert res["conflicts"] == 1  # rows_in (3) - indexed (2)
+    conflicts = spark.read.parquet(f"{root}/conflicts").collect()
+    assert len(conflicts) == res["conflicts"]
+    eng = SearchEngine(spark, root)
+    null_doc = eng.docs.filter("text IS NULL").collect()
+    assert len(null_doc) == 1
+    assert (conflicts[0]["conv_id"], conflicts[0]["turn_idx"]) == ("c1", 0)
+    assert conflicts[0]["conflict_doc_id"] == null_doc[0]["doc_id"]
