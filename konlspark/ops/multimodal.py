@@ -2,13 +2,14 @@
 
 The Spark-side contract is real and tested — schemas, Arrow batch
 shapes, ``mapInPandas`` signatures, partitioning. The decode step
-probes the EXECUTOR environment: image (PIL) and audio (soundfile)
-real feature paths run when the library is present; this container has
-neither, so ``decoder="fake"`` produces deterministic synthetic
-features from the bytes (pipelines testable end-to-end),
-``decoder="auto"`` stubs only what the probe can't route (video always
-— no ffmpeg path), and ``decoder="real"`` raises
-``NotImplementedError`` at the exact point the missing call would go.
+probes the EXECUTOR environment: image (PIL), audio (soundfile) and
+video (the ``ffmpeg`` CLI) real feature paths run when the
+library/binary is present; this container has none of them, so
+``decoder="fake"`` produces deterministic synthetic features from the
+bytes (pipelines testable end-to-end), ``decoder="auto"`` routes each
+kind to its real decoder when the probe finds one and the stub
+otherwise, and ``decoder="real"`` raises ``NotImplementedError`` at
+the exact point the missing call would go.
 
 Pattern: media rows are big — keep them in their own table keyed by
 ``media_id``, repartition by size-aware ranges before the decode stage
@@ -55,7 +56,11 @@ def _fake_features(payloads: pd.Series) -> np.ndarray:
 
 def _probe_decoders() -> dict:
     """Runs ON THE EXECUTOR (inside the mapInPandas fn): which media
-    libraries exist in this worker's environment."""
+    libraries exist in this worker's environment. Video probes the
+    ``ffmpeg`` CLI (the one decoder that is a binary, not a Python
+    package) — PATH lookup, same per-worker cost class as the imports."""
+    import shutil
+
     caps = {}
     try:
         from PIL import Image  # noqa: F401
@@ -67,6 +72,7 @@ def _probe_decoders() -> dict:
         caps["audio"] = True
     except ImportError:
         caps["audio"] = False
+    caps["video"] = shutil.which("ffmpeg") is not None
     return caps
 
 
@@ -96,19 +102,51 @@ def _real_audio_features(blob: bytes) -> "np.ndarray":
                     dtype=np.float32)
 
 
+def _real_video_features(blob: bytes) -> "np.ndarray":
+    """ffmpeg-CLI path (only reached when the probe found ffmpeg):
+    decode every frame scaled to 1×1 8-bit grayscale — ONE byte per
+    frame over the rawvideo pipe, so the transfer is bounded by frame
+    count, not resolution — then split the per-frame gray means into
+    FEATURE_DIM contiguous time slices, mean per slice → 32 floats.
+    The video analogue of the audio amplitude-slice features:
+    deterministic, decoder-true."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    ffmpeg = shutil.which("ffmpeg") or "ffmpeg"
+    # seekable input file: many demuxers (mp4 moov-at-end) cannot read
+    # from a pipe, and the blob is already executor-local
+    with tempfile.NamedTemporaryFile(suffix=".media") as f:
+        f.write(bytes(blob))
+        f.flush()
+        proc = subprocess.run(
+            [ffmpeg, "-v", "error", "-i", f.name,
+             "-vf", "scale=1:1", "-pix_fmt", "gray",
+             "-f", "rawvideo", "-"],
+            capture_output=True, check=True)
+    means = np.frombuffer(proc.stdout, dtype=np.uint8) \
+        .astype(np.float32) / 255.0
+    if means.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    return np.array([s.mean() if s.size else 0.0
+                     for s in np.array_split(means, FEATURE_DIM)],
+                    dtype=np.float32)
+
+
 def _decode_one(kind: str, blob: bytes, caps: dict, decoder: str
                 ) -> "np.ndarray":
     """Per-blob decode routing (module-level so the routing is unit-
     testable without Spark executors): real decode where the executor
-    probe found the library, deterministic sha256 stub otherwise;
+    probe found the library/CLI, deterministic sha256 stub otherwise;
     ``decoder="real"`` refuses to stub."""
     if decoder != "fake":
         if kind == "image" and caps.get("image"):
             return _real_image_features(bytes(blob))
         if kind == "audio" and caps.get("audio"):
             return _real_audio_features(bytes(blob))
-    # video real decode (ffmpeg frame-sample) absent in any supported
-    # environment here — see frame_sample_plan for the plumbing
+        if kind == "video" and caps.get("video"):
+            return _real_video_features(bytes(blob))
     if decoder == "real" and not caps.get(kind, False):
         raise NotImplementedError(
             f"real {kind} decode requires PIL/soundfile/ffmpeg "
@@ -132,9 +170,10 @@ def extract_features(media: DataFrame, decoder: str = "fake",
       documented sandbox stub; value-oracle-able in SQL);
     - ``"real"``  — require the media libraries; raise if absent;
     - ``"auto"`` — probe the EXECUTOR environment per kind (PIL for
-      images, soundfile for audio) and use the real decode where
-      available, the deterministic stub otherwise — the pipeline runs
-      unchanged in both the stubbed sandbox and a real cluster image.
+      images, soundfile for audio, the ffmpeg CLI for video) and use
+      the real decode where available, the deterministic stub
+      otherwise — the pipeline runs unchanged in both the stubbed
+      sandbox and a real cluster image.
     """
     if decoder not in ("fake", "real", "auto"):
         raise ValueError(f"unknown decoder {decoder!r}")

@@ -215,7 +215,49 @@ def test_audio_decode_routing_with_fake_soundfile(monkeypatch):
     # and it is NOT the sha256 stub
     stub = multimodal._decode_one("audio", b"riff-ish-bytes", {}, "auto")
     assert not np.allclose(got, stub)
-    # video still stubs under auto (no ffmpeg path), refuses under real
+    # video still stubs under auto (no ffmpeg in this container),
+    # refuses under real
+    assert caps["video"] is False
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         multimodal._decode_one("video", b"x", caps, "real")
+
+
+def test_video_decode_routing_with_fake_ffmpeg(monkeypatch, tmp_path):
+    """decoder='auto' must route video through the ffmpeg-CLI path when
+    the executor probe finds the binary — same probe+routing contract
+    the audio test pins. A fake `ffmpeg` executable on PATH emits a
+    known rawvideo byte stream (one gray byte per frame), exercising
+    probe, subprocess plumbing, and the time-slice feature math without
+    the real binary."""
+    import os
+    import stat
+
+    import numpy as np
+
+    fake = tmp_path / "ffmpeg"
+    # 96 "frames": bytes 0..95 on stdout, regardless of args — the
+    # real invocation is `ffmpeg -v error -i <file> -vf scale=1:1
+    # -pix_fmt gray -f rawvideo -`
+    fake.write_text(
+        "#!/bin/sh\n"
+        "python3 -c 'import sys; sys.stdout.buffer.write(bytes(range(96)))'\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP)
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}{os.environ['PATH']}")
+
+    caps = multimodal._probe_decoders()
+    assert caps["video"] is True
+
+    got = multimodal._decode_one("video", b"moov-ish-bytes", caps, "auto")
+    means = np.arange(96, dtype=np.float32) / 255.0
+    want = np.array([s.mean() for s in
+                     np.array_split(means, multimodal.FEATURE_DIM)],
+                    dtype=np.float32)
+    assert got.shape == (multimodal.FEATURE_DIM,)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # and it is NOT the sha256 stub
+    stub = multimodal._decode_one("video", b"moov-ish-bytes", {}, "auto")
+    assert not np.allclose(got, stub)
+    # decoder='real' now succeeds for video too (probe found ffmpeg)
+    real = multimodal._decode_one("video", b"moov-ish-bytes", caps, "real")
+    np.testing.assert_allclose(real, want, rtol=1e-6)
