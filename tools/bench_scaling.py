@@ -28,6 +28,19 @@ reported alongside):
   per-core-speed ratio c = s_4N/s_N. A PERFECT system shows raw
   speedup 4·c, so clock-normalized efficiency = raw_eff / c. Both raw
   and normalized numbers are reported.
+- **memory-bandwidth calibration** (r5): the sha256 workload is
+  cache-resident, so c only catches CLOCK contention — r5's sessions
+  showed 16c legs 20–40% slow while c stayed ≈0.95, i.e. the noise is
+  bandwidth/scheduler-shaped. A second fixed workload (streaming
+  256 MiB numpy copies, far beyond LLC) run n-way parallel on the same
+  cpusets, interleaved N/4N, measures the per-copy bandwidth ratio
+  b = bw_4N/bw_N (capped at 1.0). This is ALSO the cluster-model
+  correction: a real 4N-executor cluster has 4× the memory
+  controllers, while this sandbox serves the whole 4N cpuset from one
+  shared memory system — a per-core bandwidth loss no real N→4N
+  growth would see. bandwidth-normalized efficiency = raw_eff / b is
+  reported as a THIRD disclosed column; raw and clock-normalized
+  numbers are unchanged.
 
 Scaling shapes (four measured points: {N, 4N} × {X, 4X} turns):
 
@@ -73,6 +86,27 @@ if __name__ == "__main__":
 """
 
 
+_BW_SNIPPET = r"""
+import json, multiprocessing as mp, sys, time
+
+def work(_):
+    import numpy as np
+    a = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MiB >> LLC
+    b = np.empty_like(a)
+    np.copyto(b, a)  # touch pages before timing
+    t0 = time.perf_counter()
+    for _ in range(4):
+        np.copyto(b, a)
+    return time.perf_counter() - t0
+
+if __name__ == "__main__":
+    n = int(sys.argv[1])
+    with mp.Pool(n) as p:
+        times = p.map(work, range(n))
+    print(json.dumps(times))
+"""
+
+
 def _calibrate_once(path: str, cores: int) -> float:
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, path,
@@ -81,14 +115,15 @@ def _calibrate_once(path: str, cores: int) -> float:
     return statistics.median(json.loads(out.stdout))
 
 
-def calibrate_pair(lo: int, hi: int, samples: int = 6) -> tuple:
+def calibrate_pair(lo: int, hi: int, samples: int = 6,
+                   snippet: str = _CAL_SNIPPET) -> tuple:
     """Min per-copy seconds of the fixed workload at lo-way and hi-way
     parallelism. Samples INTERLEAVED (lo,hi,lo,hi,…) so bursty host
     steal hits both configs symmetrically; min-of-samples drops the
     stolen rounds."""
     import tempfile
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
-        f.write(_CAL_SNIPPET)
+        f.write(snippet)
         path = f.name
     lo_t, hi_t = [], []
     for _ in range(samples):
@@ -154,6 +189,8 @@ def main() -> None:
     # sampling noise, and capping keeps the normalization CONSERVATIVE
     # (it can then only leave the raw number unchanged, never raise it)
     c = min(1.0, cal_lo / cal_hi)
+    bw_lo, bw_hi = calibrate_pair(lo, hi, snippet=_BW_SNIPPET)
+    b = min(1.0, bw_lo / bw_hi)
 
     configs = [(lo, turns), (hi, turns), (lo, turns * 4), (hi, turns * 4)]
     by_cfg = interleaved_rounds(configs, sf_dir, repeats)
@@ -189,6 +226,9 @@ def main() -> None:
         f"calibration: per-copy sec {lo}-way": round(cal_lo, 3),
         f"calibration: per-copy sec {hi}-way": round(cal_hi, 3),
         "calibration: per-core speed ratio c = s_4N/s_N": round(c, 3),
+        f"calibration: membw per-copy sec {lo}-way": round(bw_lo, 3),
+        f"calibration: membw per-copy sec {hi}-way": round(bw_hi, 3),
+        "calibration: per-core bandwidth ratio b = bw_4N/bw_N": round(b, 3),
         f"build_sec local[{lo}] @X": round(t_lo, 2),
         f"build_sec local[{hi}] @X": round(t_hi, 2),
         f"build_sec local[{lo}] @4X": round(t_lo4, 2),
@@ -203,8 +243,12 @@ def main() -> None:
         "strong @4X: scaling_efficiency (raw)": round(strong_eff_4x, 3),
         "strong @4X: scaling_efficiency (clock-normalized)": round(
             strong_eff_4x / c, 3),
+        "strong @4X: scaling_efficiency (bandwidth-normalized)": round(
+            strong_eff_4x / b, 3),
         "weak: scaling_efficiency (raw)": round(weak_eff, 3),
         "weak: scaling_efficiency (clock-normalized)": round(weak_eff / c, 3),
+        "weak: scaling_efficiency (bandwidth-normalized)": round(
+            weak_eff / b, 3),
         **per_round,
         "best-round efficiencies (strong@X, strong@4X, weak)": [
             max(per_round["strong @X per-round eff"]),
@@ -238,7 +282,14 @@ def main() -> None:
             "(guest /proc MHz is static, so the all-core clock drop can "
             "only be measured, not read). Perfect 4× scaling on this "
             "host yields raw speedup 4·(s_4N/s_N), hence normalized "
-            "efficiency = raw / (s_4N/s_N).\n")
+            "efficiency = raw / (s_4N/s_N). The membw calibration "
+            "streams 256 MiB numpy copies (far beyond LLC) n-way "
+            "parallel: b = bw_4N/bw_N measures the per-core bandwidth "
+            "lost to serving the whole 4N cpuset from ONE shared "
+            "memory system — a loss a real N→4N cluster (4× memory "
+            "controllers) does not see — plus any neighbor bandwidth "
+            "load in the window; bandwidth-normalized efficiency = "
+            "raw / b.\n")
         f.write("\n## Reference baseline (repo BASELINE.md)\n\n")
         f.write("Reference indexes ~1.4M Korean wiki titles (~9-word docs) "
                 "in ~280 s (~5,000 docs/s, single process, Apple M1 Max).\n")
