@@ -133,6 +133,28 @@ def calibrate_pair(lo: int, hi: int, samples: int = 6,
     return min(lo_t), min(hi_t)
 
 
+def _cpuset_stat(cores: int) -> tuple:
+    """Sum (steal, total) jiffies over cpu0..cpu{cores-1} from /proc/stat.
+
+    The guest exposes hypervisor steal time per cpu; sampled before and
+    after each leg this yields the steal fraction ON THE PINNED CORES
+    DURING THE LEG — direct attribution for noise windows that the
+    burst calibrations miss (r5-s8 measured c=0.986 / b=0.963 while the
+    16c leg ran 40% over its quiet-window band: contention that only a
+    sustained many-thread workload experiences)."""
+    steal = total = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            p = line.split()
+            if p[0].startswith("cpu") and p[0] != "cpu":
+                idx = int(p[0][3:])
+                if idx < cores:
+                    vals = list(map(int, p[1:]))
+                    steal += vals[7]
+                    total += sum(vals)
+    return steal, total
+
+
 def run_once(cores: int, sf_dir: str, turns: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(6, int(cores * 1.5))}g"
@@ -145,11 +167,16 @@ def run_once(cores: int, sf_dir: str, turns: int) -> dict:
     # child's stderr is surfaced either way instead of being swallowed
     # inside CalledProcessError
     for attempt in (1, 2):
+        st0, tot0 = _cpuset_stat(cores)
         out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        st1, tot1 = _cpuset_stat(cores)
         lines = [ln for ln in out.stdout.splitlines()
                  if ln.startswith("{")]
         if out.returncode == 0 and lines:
-            return json.loads(lines[-1])
+            r = json.loads(lines[-1])
+            r["leg_steal_pct"] = round(
+                100.0 * (st1 - st0) / max(1, tot1 - tot0), 2)
+            return r
         print(f"leg FAILED (attempt {attempt}, rc={out.returncode}) "
               f"{cores}c/{turns}t:\n{out.stderr[-3000:]}", file=sys.stderr)
     raise SystemExit(f"scaling leg failed twice: {cores}c/{turns}t")
@@ -172,6 +199,7 @@ def interleaved_rounds(configs: list, sf_dir: str, repeats: int) -> dict:
         best = min(runs, key=lambda r: r["queries"]["index_build"])
         best["all_runs_sec"] = [round(r["queries"]["index_build"], 2)
                                 for r in runs]
+        best["all_runs_steal_pct"] = [r.get("leg_steal_pct") for r in runs]
         out[cfg] = best
     return out
 
@@ -237,6 +265,10 @@ def main() -> None:
         f"runs local[{hi}] @X": r_hi["all_runs_sec"],
         f"runs local[{lo}] @4X": r_lo4["all_runs_sec"],
         f"runs local[{hi}] @4X": r_hi4["all_runs_sec"],
+        f"steal_pct local[{lo}] @X": r_lo["all_runs_steal_pct"],
+        f"steal_pct local[{hi}] @X": r_hi["all_runs_steal_pct"],
+        f"steal_pct local[{lo}] @4X": r_lo4["all_runs_steal_pct"],
+        f"steal_pct local[{hi}] @4X": r_hi4["all_runs_steal_pct"],
         "strong @X: scaling_efficiency (raw)": round(strong_eff_x, 3),
         "strong @X: scaling_efficiency (clock-normalized)": round(
             strong_eff_x / c, 3),
