@@ -155,6 +155,19 @@ def _cpuset_stat(cores: int) -> tuple:
     return steal, total
 
 
+# Pre-declared steal gate (r6, per the r5 verdict): a leg whose pinned
+# cpuset saw hypervisor steal above this fraction during the run is a
+# contaminated measurement — retry it (up to GATE_MAX_RETRIES), keeping
+# every rejected attempt's timing + steal%% disclosed in the session
+# record. The threshold is declared HERE, before any r6 session ran.
+GATE_STEAL_PCT = 2.0
+GATE_MAX_RETRIES = 2
+
+# Declared protocol scale: a session whose X is below this is a smoke /
+# instrumentation run and must not overwrite the headline evidence file.
+PROTOCOL_TURNS = 1_000_000
+
+
 def run_once(cores: int, sf_dir: str, turns: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_DRIVER_MEM"] = f"{max(6, int(cores * 1.5))}g"
@@ -166,20 +179,36 @@ def run_once(cores: int, sf_dir: str, turns: int) -> dict:
     # pressure, /dev/shm blip) must not kill a 25-minute session; the
     # child's stderr is surfaced either way instead of being swallowed
     # inside CalledProcessError
-    for attempt in (1, 2):
+    gated = []  # rejected (steal-contaminated) attempts, disclosed
+    fail_budget = 1
+    gate_budget = GATE_MAX_RETRIES
+    while True:
         st0, tot0 = _cpuset_stat(cores)
         out = subprocess.run(cmd, capture_output=True, text=True, env=env)
         st1, tot1 = _cpuset_stat(cores)
         lines = [ln for ln in out.stdout.splitlines()
                  if ln.startswith("{")]
-        if out.returncode == 0 and lines:
-            r = json.loads(lines[-1])
-            r["leg_steal_pct"] = round(
-                100.0 * (st1 - st0) / max(1, tot1 - tot0), 2)
-            return r
-        print(f"leg FAILED (attempt {attempt}, rc={out.returncode}) "
-              f"{cores}c/{turns}t:\n{out.stderr[-3000:]}", file=sys.stderr)
-    raise SystemExit(f"scaling leg failed twice: {cores}c/{turns}t")
+        if out.returncode != 0 or not lines:
+            print(f"leg FAILED (rc={out.returncode}) "
+                  f"{cores}c/{turns}t:\n{out.stderr[-3000:]}",
+                  file=sys.stderr)
+            if fail_budget > 0:
+                fail_budget -= 1
+                continue
+            raise SystemExit(f"scaling leg failed twice: {cores}c/{turns}t")
+        r = json.loads(lines[-1])
+        r["leg_steal_pct"] = round(
+            100.0 * (st1 - st0) / max(1, tot1 - tot0), 2)
+        if r["leg_steal_pct"] > GATE_STEAL_PCT and gate_budget > 0:
+            gate_budget -= 1
+            gated.append({"sec": round(r["queries"]["index_build"], 2),
+                          "steal_pct": r["leg_steal_pct"]})
+            print(f"leg GATED (steal {r['leg_steal_pct']}% > "
+                  f"{GATE_STEAL_PCT}%) {cores}c/{turns}t — retrying",
+                  file=sys.stderr)
+            continue
+        r["gated_attempts"] = gated
+        return r
 
 
 def interleaved_rounds(configs: list, sf_dir: str, repeats: int) -> dict:
@@ -200,6 +229,8 @@ def interleaved_rounds(configs: list, sf_dir: str, repeats: int) -> dict:
         best["all_runs_sec"] = [round(r["queries"]["index_build"], 2)
                                 for r in runs]
         best["all_runs_steal_pct"] = [r.get("leg_steal_pct") for r in runs]
+        best["all_gated_attempts"] = [g for r in runs
+                                      for g in r.get("gated_attempts", [])]
         out[cfg] = best
     return out
 
@@ -269,6 +300,13 @@ def main() -> None:
         f"steal_pct local[{hi}] @X": r_hi["all_runs_steal_pct"],
         f"steal_pct local[{lo}] @4X": r_lo4["all_runs_steal_pct"],
         f"steal_pct local[{hi}] @4X": r_hi4["all_runs_steal_pct"],
+        "steal_gate_pct": GATE_STEAL_PCT,
+        "gated_retries": {
+            f"local[{lo}] @X": r_lo["all_gated_attempts"],
+            f"local[{hi}] @X": r_hi["all_gated_attempts"],
+            f"local[{lo}] @4X": r_lo4["all_gated_attempts"],
+            f"local[{hi}] @4X": r_hi4["all_gated_attempts"],
+        },
         "strong @X: scaling_efficiency (raw)": round(strong_eff_x, 3),
         "strong @X: scaling_efficiency (clock-normalized)": round(
             strong_eff_x / c, 3),
@@ -297,11 +335,23 @@ def main() -> None:
 
     # raw session dump — BENCH/BASELINE.md is the CURATED multi-session
     # summary (this host's cross-session noise means a single protocol
-    # session must not silently replace the headline)
-    md = os.path.join(REPO, "BENCH", "last_protocol_run.md")
+    # session must not silently replace the headline). Smoke-scale runs
+    # (turns below the declared 1M protocol scale) go to a SEPARATE file
+    # so an instrumentation test can never overwrite the headline
+    # evidence artifact (r5 ADVICE: a 20k-turn smoke run did exactly
+    # that).
+    smoke = turns < PROTOCOL_TURNS
+    result["smoke_run"] = smoke
+    md = os.path.join(REPO, "BENCH",
+                      "last_smoke_run.md" if smoke else
+                      "last_protocol_run.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
     with open(md, "w") as f:
         f.write("# BENCH baseline — konlspark\n\n")
+        if smoke:
+            f.write("**SMOKE RUN** — turns_X below the declared 1M "
+                    "protocol scale; job-floor-dominated, NOT scaling "
+                    "evidence.\n\n")
         f.write("## Scaling-efficiency evidence (north rule: ≥0.8, N→4N)\n\n")
         f.write(__doc__.split("Usage:")[0].strip() + "\n\n")
         f.write("| metric | value |\n|---|---|\n")
