@@ -73,6 +73,13 @@ def maxscore_reduction(eng, rh_terms) -> dict:
 ANCHOR_MAX_TURNS = 1_000_000
 
 
+def _host_steal() -> tuple:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line."""
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return vals[7], sum(vals)
+
+
 def _ids_sha(ids) -> str:
     import hashlib
     return hashlib.sha256(",".join(map(str, ids)).encode()).hexdigest()[:16]
@@ -228,6 +235,7 @@ def main() -> None:
                       shuffle_partitions=parts)
     timings: dict[str, float] = {}
     t_start = time.time()
+    st0, tot0 = _host_steal()
     warmup_sec = 0.0  # warm-up work: reported, NOT in the headline value
 
     # --- headline: index build over sf*1M synthetic transcript turns -----
@@ -397,16 +405,24 @@ def main() -> None:
                     if timings[w] > timings[e] * 1.3 + 0.15]
 
         retried = []
+        guard_attempts: dict[str, list] = {}
         for _attempt in range(2):
             for w in failing_pairs():
                 e = dict(pairs)[w]
                 retried.append(w)
+                # disclose every attempt's timings (r5 ADVICE): a guard
+                # that only passes on retry is visible in the artifact
+                guard_attempts.setdefault(w, [timings[w]])
+                guard_attempts.setdefault(e, [timings[e]])
                 timed2(w, guard_fns[w])
                 timed2(e, guard_fns[e])
+                guard_attempts[w].append(timings[w])
+                guard_attempts[e].append(timings[e])
             if not failing_pairs():
                 break
         if retried:
             extras["wand_guard_retried"] = retried
+            extras["wand_guard_attempts"] = guard_attempts
         extras["wand_le_exact"] = not failing_pairs()
 
     # headline value = the timed work only (build + min-of-3 query
@@ -415,15 +431,28 @@ def main() -> None:
     # host noise and with how much correctness checking the run does,
     # neither of which is engine throughput.
     total = sum(timings.values())
+    st1, tot1 = _host_steal()
     out = {
+        # metric_version 2 (r5 ADVICE): `value` is the SUM OF MIN-OF-3
+        # timed-work components (build + each query's min-of-3),
+        # excluding warm-up and golden checks — NOT wall time. r3/r4
+        # artifacts (no metric_version) used single-shot wall time and
+        # are not comparable to this value; use wall_total_sec for
+        # cross-round continuity.
         "metric": "index build (sf*1M synthetic transcript turns) + "
-                  "BM25/boolean/dedup/similarity query suite wall time",
+                  "BM25/boolean/dedup/similarity query suite: sum of "
+                  "min-of-3 timed components (excl. warm-up)",
+        "metric_version": 2,
         "value": round(total, 2),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
         "warmup_sec": round(warmup_sec, 2),
         "wall_total_sec": round(time.time() - t_start, 2),
+        # host-contention fingerprint over the whole run (hypervisor
+        # steal on all cpus): attributes future cross-round regressions
+        # to host weather without a separate quiet-window record
+        "steal_pct": round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2),
         **extras,
     }
     shutil.rmtree(root, ignore_errors=True)

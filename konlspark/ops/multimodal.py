@@ -124,7 +124,17 @@ def _real_video_features(blob: bytes) -> "np.ndarray":
             [ffmpeg, "-v", "error", "-i", f.name,
              "-vf", "scale=1:1", "-pix_fmt", "gray",
              "-f", "rawvideo", "-"],
-            capture_output=True, check=True)
+            capture_output=True)
+        if proc.returncode != 0:
+            # surface ffmpeg's stderr in the executor log: the default
+            # CalledProcessError message omits it, making a corrupt
+            # blob undiagnosable. A corrupt blob FAILS THE STAGE under
+            # decoder="auto"/"real" — same contract as the PIL /
+            # soundfile real paths (a bad input is a data bug, not
+            # something to silently stub over).
+            raise RuntimeError(
+                f"ffmpeg video decode failed (rc={proc.returncode}): "
+                f"{proc.stderr.decode(errors='replace')[-2000:]}")
     means = np.frombuffer(proc.stdout, dtype=np.uint8) \
         .astype(np.float32) / 255.0
     if means.size == 0:
