@@ -117,6 +117,33 @@ def _engine_bm25(spark: SparkSession, sf_dir: str, terms, k=10,
     )
 
 
+# the fixed batch the q11 contract entry scores — shared terms across
+# queries on purpose (the batch plan decodes each term once)
+_BATCH_QUERIES = {
+    "qa": ["spark", "vector"],
+    "qb": ["window"],
+    "qc": ["spark", "window", "fast"],
+}
+
+
+def _engine_bm25_batch(spark: SparkSession, sf_dir: str, k=10) -> DataFrame:
+    """B queries in ONE plan via ``bm25_topk_batch`` (amortizes the
+    per-query job floor; see query.py batch section)."""
+    from .query import SearchEngine
+    root = _engine_root(spark, sf_dir)
+    eng = SearchEngine(spark, root)
+    top = eng.bm25_topk_batch(_BATCH_QUERIES, k=k)
+    mapping = eng.docs.select(
+        F.col("doc_id").alias("_eid"),
+        F.regexp_replace("conv_id", "conv-", "").cast("long").alias("orig_id"))
+    return (
+        top.join(mapping, top.doc_id == mapping._eid)
+        .select("query_id", F.col("orig_id").alias("doc_id"),
+                F.round("score", 4).alias("score"))
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def _map_orig_ids(eng, res: DataFrame) -> DataFrame:
     """Engine doc ids → the original documents.doc_id (dedup winners)."""
     mapping = eng.docs.select(
@@ -318,6 +345,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     # conjunctive scoring: only docs containing EVERY query term rank
     q["q10_bm25_and_mode"] = lambda s, d: _engine_bm25(
         s, d, ["spark", "vector"], k=10, mode="and")
+    # batched multi-query BM25: B queries scored in ONE plan
+    q["q11_bm25_batch"] = lambda s, d: _engine_bm25_batch(s, d, k=10)
 
     # -- counters / windows / sorts (C5, §2.6) -------------------------------
     q["c5_counter_topk"] = lambda s, d: (
@@ -574,6 +603,18 @@ def oracle_sql() -> Dict[str, str]:
     o["q10_bm25_and_mode"] = _DUCK_BM25.format(
         toks=_DUCK_TOKS, terms=terms_sv, k=10,
         having=" HAVING count(DISTINCT tf.term) = 2")
+    # batch oracle: per-query BM25 blocks union-all'd under query_id —
+    # the same per-query SQL the single entries use, so the batch plan
+    # is checked against the already-trusted per-query semantics
+    o["q11_bm25_batch"] = "SELECT * FROM (" + " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, doc_id, score FROM ("
+        + _DUCK_BM25.format(
+            toks=_DUCK_TOKS,
+            terms=", ".join(f"'{t}'" for t in dict.fromkeys(ts)),
+            k=10, having="")
+        + ")"
+        for qid, ts in _BATCH_QUERIES.items()
+    ) + ") ORDER BY query_id, score DESC, doc_id"
     o["c5_counter_topk"] = (
         "SELECT user_id, count(*) AS cnt FROM events "
         "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 3")

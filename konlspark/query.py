@@ -420,6 +420,112 @@ class SearchEngine:
             .limit(k)
         )
 
+    # -- batched multi-query execution ---------------------------------------
+    # A production engine over this index serves a query LOG, not one
+    # query: each single query pays the ~0.3-0.5s Spark job floor, so
+    # B queries cost B floors. Batching scores all B in ONE plan —
+    # every distinct term's postings are decoded exactly once even when
+    # terms are shared across queries, the (query_id, term) fan-out is
+    # a broadcast of a B·|terms|-row driver map, and the per-query
+    # top-k is a two-stage partial top-k (the `_per_term_block_stats`
+    # idiom: partition-local top-k arrays, then ≤ k·P rows per query to
+    # merge — never a single-task-per-query window sort, which at the
+    # 100 TB target would serialize a head query's 10^8-row candidate
+    # set onto one task). The reference fires its suite back-to-back
+    # (test_konlsearch.py:191-254); this is the cluster analogue.
+
+    def _batch_qmap(self, queries: Dict[str, Sequence[str]], mode: str):
+        """Driver-side prep shared by the batch paths: term metadata for
+        the union of query terms, plus the (query_id, term) fan-out rows
+        and per-query required-term counts. AND queries with a term
+        absent from the index are dropped here (their result is empty by
+        definition — reference inverted_index.py:110-113)."""
+        meta_all = self._term_meta(
+            [t for ts in queries.values() for t in ts])
+        rows, nreq = [], {}
+        for qid, tokens in queries.items():
+            uniq = list(dict.fromkeys(tokens))
+            known = [t for t in uniq if t in meta_all]
+            if not known or (mode == "and" and len(known) < len(uniq)):
+                continue
+            nreq[qid] = len(known)
+            rows.extend((qid, t) for t in known)
+        meta = {t: meta_all[t] for _, t in rows}
+        return meta, rows, nreq
+
+    def _batch_joined(self, meta, rows, nreq, mode: str,
+                      with_scores: bool) -> Optional[DataFrame]:
+        """(query_id, doc_id[, score]) rows — decode once per distinct
+        term, broadcast the tiny query map, keep AND-complete docs."""
+        if not rows:
+            return None
+        idf = ({t: bm25_idf(self.n_docs, m["df"]) for t, m in meta.items()}
+               if with_scores else None)
+        decoded = self._decode(self._blocks_for(meta), idf)
+        qmap = self.spark.createDataFrame(rows, "query_id string, term string")
+        joined = decoded.join(F.broadcast(qmap), "term")
+        agg = [F.count_distinct("term").alias("_nt")]
+        if with_scores:
+            agg.append(F.sum("score").alias("score"))
+        scored = joined.groupBy("query_id", "doc_id").agg(*agg)
+        if mode == "and":
+            nreq_df = self.spark.createDataFrame(
+                list(nreq.items()), "query_id string, _nreq int")
+            scored = (scored.join(F.broadcast(nreq_df), "query_id")
+                      .filter(F.col("_nt") == F.col("_nreq")))
+        cols = ["query_id", "doc_id"] + (["score"] if with_scores else [])
+        return scored.select(*cols)
+
+    def search_batch(self, queries: Dict[str, Sequence[str]],
+                     mode: str = "or") -> DataFrame:
+        """B boolean queries in one plan → DataFrame(query_id, doc_id),
+        per-query rows identical to :meth:`search` (mode "or"/"and")."""
+        mode = mode.lower()
+        empty = self.spark.createDataFrame(
+            [], "query_id string, doc_id long")
+        meta, rows, nreq = self._batch_qmap(queries, mode)
+        out = self._batch_joined(meta, rows, nreq, mode, with_scores=False)
+        if out is None:
+            return empty
+        return out.orderBy("query_id", "doc_id")
+
+    def bm25_topk_batch(self, queries: Dict[str, Sequence[str]],
+                        k: int = 10, mode: str = "or") -> DataFrame:
+        """B BM25 queries in one plan → DataFrame(query_id, doc_id,
+        score): per query, the same top-k rows (desc score, ties by
+        ascending doc_id) as :meth:`bm25_topk`. Always the exact path —
+        batching amortizes the job floor that per-query block-max
+        pruning exists to fight at sandbox scale, and the decode volume
+        is shared across queries (a head term decodes once for every
+        query that uses it)."""
+        mode = mode.lower()
+        empty = self.spark.createDataFrame(
+            [], "query_id string, doc_id long, score double")
+        if k <= 0:
+            return empty
+        meta, rows, nreq = self._batch_qmap(queries, mode)
+        scored = self._batch_joined(meta, rows, nreq, mode, with_scores=True)
+        if scored is None:
+            return empty
+        # two-stage partial top-k per query: sort key (score, -doc_id)
+        # descending == (score desc, doc_id asc), the single-query
+        # ordering. Stage 1 keeps ≤ k rows per (query, input partition);
+        # stage 2 merges ≤ k·P structs per query — tiny arrays, never a
+        # full per-query sort on one task.
+        srt = F.struct(F.col("score"), (-F.col("doc_id")).alias("_nid"))
+        part = (scored
+                .groupBy("query_id", F.spark_partition_id().alias("_pid"))
+                .agg(F.slice(F.sort_array(F.collect_list(srt), asc=False),
+                             1, k).alias("_top")))
+        return (part.groupBy("query_id")
+                .agg(F.slice(F.reverse(F.array_sort(F.flatten(
+                    F.collect_list("_top")))), 1, k).alias("_all"))
+                .select("query_id", F.explode("_all").alias("_s"))
+                .select("query_id",
+                        (-F.col("_s._nid")).alias("doc_id"),
+                        F.col("_s.score").alias("score"))
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
+
     def _per_term_block_stats(self, blocks: DataFrame, k: int) -> DataFrame:
         """Per-term ``(mw, nb, ms, kth)`` over block METADATA via a
         two-stage partial top-k — only the k-th largest VALUE is ever

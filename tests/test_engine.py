@@ -251,3 +251,60 @@ def test_query_log_and_frequency(spark, tmp_root, title_oracle):
     eng.search(["마법"], "or")
     eng.aggregate_frequency()
     assert eng.search_by_frequency("ㅁ") == [("마법소녀", 6), ("마법", 2), ("모래", 1)]
+
+
+def test_batch_search_parity(zeng):
+    """search_batch: per-query rows identical to the single-query path
+    for every query in a mixed batch (shared terms, unknown terms,
+    single-term, duplicate tokens) in both modes."""
+    batch = {
+        "qa": ["마법", "특별"],
+        "qb": ["spark", "query"],
+        "qc": ["검색", "색인", "질의"],
+        "qd": ["없는단어쿼리"],          # unknown term
+        "qe": ["마법", "없는단어쿼리"],   # known + unknown
+        "qf": ["마법", "마법", "특별"],   # duplicate token
+        "qg": ["spark"],
+    }
+    for mode in ("or", "and"):
+        got = {}
+        for r in zeng.search_batch(batch, mode=mode).collect():
+            got.setdefault(r["query_id"], []).append(r["doc_id"])
+        for qid, tokens in batch.items():
+            want = ids(zeng.search(tokens, mode, log=False))
+            assert got.get(qid, []) == want, (qid, mode)
+
+
+def test_batch_bm25_parity(zeng):
+    """bm25_topk_batch: per-query (doc_id, score) identical to the
+    single-query exact path — same docs, same order, scores to 1e-9."""
+    batch = {
+        "qa": ["마법", "특별"],
+        "qb": ["spark", "query", "index"],
+        "qc": ["검색", "색인"],
+        "qd": ["마법", "spark", "token"],
+        "qe": ["없는단어쿼리"],
+        "qf": ["마법소녀"],
+    }
+    for mode in ("or", "and"):
+        for k in (3, 10):
+            got = {}
+            for r in (zeng.bm25_topk_batch(batch, k=k, mode=mode)
+                      .collect()):
+                got.setdefault(r["query_id"], []).append(
+                    (r["doc_id"], r["score"]))
+            for qid, tokens in batch.items():
+                want = [(r["doc_id"], r["score"]) for r in
+                        zeng.bm25_topk(tokens, k=k, mode=mode,
+                                       use_wand=False).collect()]
+                gq = got.get(qid, [])
+                assert [d for d, _ in gq] == [d for d, _ in want], \
+                    (qid, mode, k)
+                for (_, a), (_, b) in zip(gq, want):
+                    assert abs(a - b) < 1e-9, (qid, mode, k)
+
+
+def test_batch_bm25_empty_and_k0(zeng):
+    assert zeng.bm25_topk_batch({}, k=10).count() == 0
+    assert zeng.bm25_topk_batch({"q": ["마법"]}, k=0).count() == 0
+    assert zeng.search_batch({"q": ["없는단어쿼리"]}, "and").count() == 0
