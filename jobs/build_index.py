@@ -3,7 +3,7 @@
     spark-submit --py-files konlspark.zip jobs/build_index.py \
         --input /path/to/transcripts_parquet --output /path/to/index \
         [--segments 64] [--block-size 128] [--target-per-split N] \
-        [--buckets 512] [--no-resume]
+        [--buckets 512] [--no-resume] [--positions]
 
 Input schema (BASELINE.json input_hint): conv_id string, turn_idx int,
 role string, text string, tool string, ts timestamp. On a cluster, set
@@ -34,6 +34,10 @@ def main() -> None:
                     help="posting term buckets; default max(32, cluster "
                          "parallelism) — raise with cluster size")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--positions", action="store_true",
+                    help="store per-occurrence positions in the posting "
+                         "blocks (contiguous-phrase verify from the "
+                         "index; appends/compaction inherit the flag)")
     ap.add_argument("--append", action="store_true",
                     help="incremental: append this input as a batch into "
                          "an existing index (WriteBatch semantics)")
@@ -62,6 +66,7 @@ def main() -> None:
         n_buckets=args.buckets,
         n_segments=args.segments,
         resume=not args.no_resume,
+        store_positions=args.positions,
         **kwargs,
     )
     print(json.dumps(manifest, default=str))

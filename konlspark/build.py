@@ -62,6 +62,11 @@ POSTINGS_SCHEMA = (
     "tfs binary, doc_lens binary, block_max_tf int, block_max_w double"
 )
 
+# opt-in positional postings (build_index(store_positions=True)): two
+# extra binary columns per block — per-doc position counts + the
+# delta+varint position stream (codec.encode_positions)
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", pos_counts binary, positions binary"
+
 
 # ---------------------------------------------------------------------------
 # Tokenize (P1-P4) — one Arrow pass
@@ -425,12 +430,52 @@ def explode_postings(docs: DataFrame) -> DataFrame:
     )
 
 
+def explode_postings_with_positions(docs: DataFrame) -> DataFrame:
+    """docs → (term, doc_id, tf, doc_len, positions) rows.
+
+    Positions are the token's occurrence indices in the SAME ordered
+    morph stream the contiguous-phrase recompute path walks
+    (``tk.tokenize_with_order(text)``) — stored-vs-recompute parity is
+    exact by construction. A whitespace-set-only token (in ``tokens``
+    but absent from the ordered stream) gets an empty list; neither
+    path can phrase-match it. One extra Arrow tokenize pass over the
+    docs — the documented cost of ``store_positions=True``.
+    """
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, ids, tfs, lens, poss = [], [], [], [], []
+            for doc_id, dlen, text, toks, tfv in zip(
+                    pdf["doc_id"], pdf["doc_len"], pdf["text"],
+                    pdf["tokens"], pdf["tfs"]):
+                pos: dict = {}
+                for i, t in enumerate(tk.tokenize_with_order(text)):
+                    pos.setdefault(t, []).append(i)
+                for t, tf in zip(toks, tfv):
+                    terms.append(t)
+                    ids.append(doc_id)
+                    tfs.append(tf)
+                    lens.append(dlen)
+                    poss.append(pos.get(t, []))
+            yield pd.DataFrame({
+                "term": terms,
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "tf": pd.Series(tfs, dtype="int32"),
+                "doc_len": pd.Series(lens, dtype="int32"),
+                "positions": poss,
+            })
+
+    return docs.select("doc_id", "doc_len", "text", "tokens", "tfs") \
+        .mapInPandas(fn, "term string, doc_id long, tf int, doc_len int, "
+                         "positions array<int>")
+
+
 def build_postings(docs: DataFrame, avgdl: float,
                    block_size: int = DEFAULT_BLOCK_SIZE,
                    target_per_split: int = DEFAULT_TARGET_POSTINGS_PER_SPLIT,
                    n_buckets: int = DEFAULT_N_BUCKETS,
                    exploded: Optional[DataFrame] = None,
-                   term_df: Optional[DataFrame] = None) -> DataFrame:
+                   term_df: Optional[DataFrame] = None,
+                   store_positions: bool = False) -> DataFrame:
     """Blocked, compressed postings from a docs DF.
 
     Skew handling: term df is Zipfian; a plain ``groupBy(term)`` routes a
@@ -441,7 +486,12 @@ def build_postings(docs: DataFrame, avgdl: float,
     term may overlap in doc-id range — readers never assume disjoint
     ranges (each doc appears in exactly one block per term).
     """
-    if exploded is None:
+    if store_positions:
+        # the shared tokens/tfs explode carries no positions — always
+        # derive the positional explode, even when a plain `exploded`
+        # was passed for the df computation
+        exploded = explode_postings_with_positions(docs)
+    elif exploded is None:
         exploded = explode_postings(docs)
     if term_df is None:
         # df per term: map-side partial agg keeps this cheap even on skew
@@ -469,19 +519,26 @@ def build_postings(docs: DataFrame, avgdl: float,
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         lens = pdf["doc_len"].to_numpy(dtype=np.int64)
+        pos_col = (pdf["positions"].to_numpy() if store_positions else None)
         rows = []
         for seq, lo in enumerate(range(0, len(ids), block_size)):
             hi = min(lo + block_size, len(ids))
             b_ids, b_tfs, b_lens = ids[lo:hi], tfs[lo:hi], lens[lo:hi]
             d, t, ln = codec.encode_block(b_ids, b_tfs, b_lens)
             w = _bm25_w(b_tfs, b_lens, avgdl)
-            rows.append((term, int(salt), seq, int(hi - lo),
-                         int(b_ids[0]), int(b_ids[-1]), d, t, ln,
-                         int(b_tfs.max()), float(w.max())))
-        return pd.DataFrame(rows, columns=[
+            row = (term, int(salt), seq, int(hi - lo),
+                   int(b_ids[0]), int(b_ids[-1]), d, t, ln,
+                   int(b_tfs.max()), float(w.max()))
+            if store_positions:
+                row += codec.encode_positions(list(pos_col[lo:hi]))
+            rows.append(row)
+        cols = [
             "term", "salt", "block_seq", "n", "first_doc_id", "last_doc_id",
             "doc_ids_delta", "tfs", "doc_lens", "block_max_tf", "block_max_w",
-        ])
+        ]
+        if store_positions:
+            cols += ["pos_counts", "positions"]
+        return pd.DataFrame(rows, columns=cols)
 
     # NOTE (r3 measured): a one-shuffle variant — repartition the
     # exploded rows by (term_bucket, salt) + JVM sort + streaming
@@ -493,7 +550,9 @@ def build_postings(docs: DataFrame, avgdl: float,
     # (tiny) purely for write co-location.
     postings = (
         salted.groupBy("term", "salt")
-        .applyInPandas(encode_group, POSTINGS_SCHEMA)
+        .applyInPandas(encode_group,
+                       POSTINGS_POS_SCHEMA if store_positions
+                       else POSTINGS_SCHEMA)
         .withColumn("term_bucket",
                     F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
         # co-locate on (bucket, salt) before the partitionBy write:
@@ -531,7 +590,8 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
                 target_per_split: int = DEFAULT_TARGET_POSTINGS_PER_SPLIT,
                 n_buckets: Optional[int] = None,
                 n_segments: int = 1,
-                resume: bool = True) -> dict:
+                resume: bool = True,
+                store_positions: bool = False) -> dict:
     """Build a queryable index at ``root``; returns the manifest.
 
     ``n_segments > 1`` builds postings per doc-id-range segment with a
@@ -541,6 +601,15 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
     ``n_buckets`` defaults to ``max(32, cluster parallelism)`` — the
     bucket count caps posting-write parallelism (one file per bucket),
     so it must grow with the cluster, not stay pinned at 32.
+
+    ``store_positions=True`` stores per-occurrence positions in the
+    posting blocks (codec.encode_positions) and records it in the
+    manifest; ``search_phrase_contiguous`` then verifies adjacency from
+    stored positions instead of re-tokenizing candidate docs — at the
+    100 TB target, a phrase of common morphs has a df(rarest)-bounded
+    but still huge candidate set, and the per-doc Python re-tokenize
+    becomes the floor the stored path removes. Appends and compaction
+    inherit the flag from the manifest.
     """
     if n_buckets is None:
         n_buckets = max(DEFAULT_N_BUCKETS,
@@ -635,16 +704,18 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
     if n_segments <= 1:
         postings = build_postings(docs, avgdl, block_size,
                                   target_per_split, n_buckets,
-                                  exploded=exploded, term_df=term_df)
+                                  exploded=exploded, term_df=term_df,
+                                  store_positions=store_positions)
         (postings.write.mode("overwrite").partitionBy("term_bucket")
                  .parquet(cat.table_path("postings")))
     else:
         seg_dirs = _build_segments(
             spark, cat, docs, avgdl, n_docs, max_doc_id, n_segments,
             block_size, target_per_split, n_buckets, resume, build_metrics,
-            term_df=term_df)
+            term_df=term_df, store_positions=store_positions)
         merge_segments(spark, seg_dirs, cat.table_path("postings"),
-                       avgdl, block_size, n_buckets)
+                       avgdl, block_size, n_buckets,
+                       store_positions=store_positions)
     for th in side_threads:
         th.join()
     if side_errs:
@@ -672,21 +743,25 @@ def build_index(spark: SparkSession, transcripts: DataFrame, root: str,
         "build_phases": phases,
         "n_segments": n_segments,
         "segment_metrics": build_metrics,
+        "positions": store_positions,
     }
     cat.commit_manifest(manifest)
     return manifest
 
 
 def _segment_fingerprint(n_docs: int, max_doc_id: int, seg: int,
-                         n_segments: int, block_size: int) -> str:
-    return f"v1:{n_docs}:{max_doc_id}:{seg}/{n_segments}:bs{block_size}"
+                         n_segments: int, block_size: int,
+                         store_positions: bool = False) -> str:
+    pos = ":pos" if store_positions else ""
+    return f"v1:{n_docs}:{max_doc_id}:{seg}/{n_segments}:bs{block_size}{pos}"
 
 
 def _build_segments(spark, cat: IndexCatalog, docs: DataFrame, avgdl: float,
                     n_docs: int, max_doc_id: int, n_segments: int,
                     block_size: int, target_per_split: int, n_buckets: int,
                     resume: bool, metrics_out: List[dict],
-                    term_df: Optional[DataFrame] = None) -> List[str]:
+                    term_df: Optional[DataFrame] = None,
+                    store_positions: bool = False) -> List[str]:
     """Per-segment posting build with checkpoint + lineage + metrics."""
     seg_dirs = []
     bound = max_doc_id + 1
@@ -694,7 +769,8 @@ def _build_segments(spark, cat: IndexCatalog, docs: DataFrame, avgdl: float,
         seg_id = f"segment={seg:05d}"
         seg_dir = cat.table_path(f"_segments/{seg_id}")
         seg_dirs.append(seg_dir)
-        fp = _segment_fingerprint(n_docs, max_doc_id, seg, n_segments, block_size)
+        fp = _segment_fingerprint(n_docs, max_doc_id, seg, n_segments,
+                                  block_size, store_positions)
         if resume and cat.segment_committed(seg_id, fp):
             continue
         t0 = time.time()
@@ -705,7 +781,8 @@ def _build_segments(spark, cat: IndexCatalog, docs: DataFrame, avgdl: float,
         # extra salt splits for head terms; saves a per-segment agg pass
         postings = build_postings(seg_docs, avgdl, block_size,
                                   target_per_split, n_buckets,
-                                  term_df=term_df)
+                                  term_df=term_df,
+                                  store_positions=store_positions)
         postings.write.mode("overwrite").parquet(seg_dir)
         agg = spark.read.parquet(seg_dir).groupBy(
             F.spark_partition_id().alias("_p")).agg(
@@ -734,12 +811,14 @@ def _build_segments(spark, cat: IndexCatalog, docs: DataFrame, avgdl: float,
 
 
 def merge_segments(spark: SparkSession, seg_dirs: List[str], out_path: str,
-                   avgdl: float, block_size: int, n_buckets: int) -> None:
+                   avgdl: float, block_size: int, n_buckets: int,
+                   store_positions: bool = False) -> None:
     """B7: union segment posting blocks → repartition by (term, salt) →
     sortWithinPartitions → decode-concat-re-encode into final blocks.
 
     Segments hold disjoint doc-id ranges, so concatenating their decoded
     arrays in ``first_doc_id`` order is already globally sorted per term.
+    Positional segments re-encode the per-doc position lists alongside.
     """
     union = spark.read.parquet(*seg_dirs)
 
@@ -753,23 +832,35 @@ def merge_segments(spark: SparkSession, seg_dirs: List[str], out_path: str,
                                for b in pdf["doc_lens"]])
         order = np.argsort(ids, kind="stable")
         ids, tfs, lens = ids[order], tfs[order], lens[order]
+        if store_positions:
+            pos_all = [p for c, v in zip(pdf["pos_counts"], pdf["positions"])
+                       for p in codec.decode_positions(c, v)]
+            pos_all = [pos_all[i] for i in order]
         rows = []
         for seq, lo in enumerate(range(0, len(ids), block_size)):
             hi = min(lo + block_size, len(ids))
             d, t, ln = codec.encode_block(ids[lo:hi], tfs[lo:hi], lens[lo:hi])
             w = _bm25_w(tfs[lo:hi], lens[lo:hi], avgdl)
-            rows.append((term, int(salt), seq, int(hi - lo),
-                         int(ids[lo]), int(ids[hi - 1]), d, t, ln,
-                         int(tfs[lo:hi].max()), float(w.max())))
-        return pd.DataFrame(rows, columns=[
+            row = (term, int(salt), seq, int(hi - lo),
+                   int(ids[lo]), int(ids[hi - 1]), d, t, ln,
+                   int(tfs[lo:hi].max()), float(w.max()))
+            if store_positions:
+                row += codec.encode_positions(pos_all[lo:hi])
+            rows.append(row)
+        cols = [
             "term", "salt", "block_seq", "n", "first_doc_id", "last_doc_id",
             "doc_ids_delta", "tfs", "doc_lens", "block_max_tf", "block_max_w",
-        ])
+        ]
+        if store_positions:
+            cols += ["pos_counts", "positions"]
+        return pd.DataFrame(rows, columns=cols)
 
     merged = (
         union.repartition("term", "salt")
         .groupBy("term", "salt")
-        .applyInPandas(merge_group, POSTINGS_SCHEMA)
+        .applyInPandas(merge_group,
+                       POSTINGS_POS_SCHEMA if store_positions
+                       else POSTINGS_SCHEMA)
         .withColumn("term_bucket",
                     F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )

@@ -104,3 +104,41 @@ def decode_block(doc_ids_delta: bytes, tfs: bytes,
         decode_varint(tfs).astype(np.int64),
         decode_varint(doc_lens).astype(np.int64),
     )
+
+
+def encode_positions(pos_lists) -> Tuple[bytes, bytes]:
+    """Encode per-doc occurrence-position lists for one posting block.
+
+    Positional postings are the classic two-level layout (same family as
+    the doc-id codec above): a varint array of per-doc position COUNTS,
+    then every doc's positions delta-encoded (first absolute, then gaps)
+    and varint-packed into one concatenated stream. Within-doc positions
+    are strictly increasing, so gaps are small → ~1 byte/occurrence for
+    typical turns. A token present only via the whitespace-set branch
+    (tf floored at 1, not in the ordered morph stream) has count 0.
+    """
+    counts = np.fromiter((len(p) for p in pos_lists), dtype=np.uint64,
+                         count=len(pos_lists))
+    if counts.sum() == 0:
+        return encode_varint(counts), b""
+    flat = np.concatenate(
+        [np.asarray(p, dtype=np.int64) for p in pos_lists if len(p)])
+    # vectorized per-doc delta: subtract the previous element everywhere,
+    # then restore each doc's FIRST position to its absolute value
+    deltas = np.empty(flat.size, dtype=np.int64)
+    deltas[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+    starts = np.concatenate(([0], np.cumsum(counts[counts > 0])[:-1]
+                             .astype(np.int64)))
+    deltas[starts] = flat[starts]
+    return encode_varint(counts), encode_varint(deltas.astype(np.uint64))
+
+
+def decode_positions(counts_buf: bytes, vals_buf: bytes) -> list:
+    """Inverse of :func:`encode_positions` → list of int64 arrays,
+    one per doc in block order (empty array for count-0 docs)."""
+    counts = decode_varint(counts_buf).astype(np.int64)
+    vals = decode_varint(vals_buf).astype(np.int64)
+    bounds = np.cumsum(counts)
+    starts = bounds - counts
+    return [np.cumsum(vals[s:e]) for s, e in zip(starts, bounds)]

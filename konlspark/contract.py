@@ -94,7 +94,9 @@ def _engine_root(spark: SparkSession, sf_dir: str) -> str:
         F.lit("").alias("tool"),
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
     )
-    build.build_index(spark, transcripts, root)
+    # positional build: q4c exercises the stored-positions phrase
+    # path; every other entry ignores the extra block columns
+    build.build_index(spark, transcripts, root, store_positions=True)
     _ENGINE_CACHE[sf_dir] = root
     return root
 
@@ -310,12 +312,16 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- contiguous phrase (EXTENSION beyond the reference's
     # first-occurrence PHRASE): AND-candidates + adjacency verify
-    def q4b(s, d):
+    def q4b(s, d, use_positions=False):
         from .query import SearchEngine
         eng = SearchEngine(s, _engine_root(s, d))
         return _map_orig_ids(eng, eng.search_phrase_contiguous(
-            ["fast", "window"]))
+            ["fast", "window"], use_positions=use_positions))
     q["q4b_phrase_contiguous"] = q4b
+
+    # -- contiguous phrase from STORED positional postings (same
+    # semantics, the store_positions=True index path)
+    q["q4c_phrase_positions"] = lambda s, d: q4b(s, d, use_positions=True)
 
     # -- complex search (Q5) through the REAL engine: recursive set algebra
     q["q5_complex_search"] = _engine_complex
@@ -573,6 +579,7 @@ def oracle_sql() -> Dict[str, str]:
         WHERE len(list_filter(range(1, len(toks)),
                               i -> toks[i] = 'fast' AND toks[i+1] = 'window')) > 0
         ORDER BY doc_id"""
+    o["q4c_phrase_positions"] = o["q4b_phrase_contiguous"]
     o["q5_complex_search"] = f"""
         WITH uniq AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
         tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM uniq)

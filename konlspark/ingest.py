@@ -123,7 +123,8 @@ def append_batch(spark: SparkSession, root: str,
     postings = B.build_postings(
         new_docs, avgdl=float(manifest["avgdl_built"]),
         block_size=int(manifest["block_size"]),
-        n_buckets=int(manifest["n_buckets"]))
+        n_buckets=int(manifest["n_buckets"]),
+        store_positions=bool(manifest.get("positions", False)))
     post_path = f"postings_parts/{part}"
     postings.write.mode("overwrite").partitionBy("term_bucket") \
         .parquet(cat.table_path(post_path))
@@ -296,10 +297,10 @@ def compact(spark: SparkSession, root: str) -> dict:
 
     exploded = B.explode_postings(live)
     term_df = exploded.groupBy("term").agg(F.count("*").alias("df"))
-    postings = B.build_postings(live, avgdl,
-                                block_size=int(manifest["block_size"]),
-                                n_buckets=n_buckets,
-                                exploded=exploded, term_df=term_df)
+    postings = B.build_postings(
+        live, avgdl, block_size=int(manifest["block_size"]),
+        n_buckets=n_buckets, exploded=exploded, term_df=term_df,
+        store_positions=bool(manifest.get("positions", False)))
     post_path = f"postings_v{v}"
     postings.write.mode("overwrite").partitionBy("term_bucket") \
         .parquet(cat.table_path(post_path))

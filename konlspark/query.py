@@ -94,6 +94,7 @@ class SearchEngine:
             raise FileNotFoundError(f"no committed index at {self.cat.root}")
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
+        self.has_positions = bool(self.manifest.get("positions", False))
         # after append/delete the per-block max-score metadata was built
         # with a different avgdl → pruning bounds are no longer sound;
         # fall back to the exact path until compaction. Tombstones alone
@@ -204,6 +205,37 @@ class SearchEngine:
             out = out.join(self.tombstones, "doc_id", "left_anti")
         return out
 
+    def _decode_positions(self, blocks: DataFrame) -> DataFrame:
+        """blocks → (term, doc_id, positions array<int>) rows — only
+        meaningful on an index built with ``store_positions=True``."""
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                terms, ids_l, pos_l = [], [], []
+                for row in pdf.itertuples(index=False):
+                    ids = codec.decode_doc_ids(row.doc_ids_delta)
+                    pos = codec.decode_positions(row.pos_counts,
+                                                 row.positions)
+                    terms.append(np.full(len(ids), row.term, dtype=object))
+                    ids_l.append(ids)
+                    pos_l.extend([p.astype(np.int32) for p in pos])
+                if not ids_l:
+                    yield pd.DataFrame({"term": pd.Series([], dtype=object),
+                                        "doc_id": pd.Series([], dtype="int64"),
+                                        "positions": []})
+                    continue
+                yield pd.DataFrame({
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(ids_l),
+                    "positions": pos_l,
+                })
+
+        cols = ["term", "doc_ids_delta", "pos_counts", "positions"]
+        out = blocks.select(*cols).mapInPandas(
+            fn, "term string, doc_id long, positions array<int>")
+        if self.tombstones is not None:
+            out = out.join(self.tombstones, "doc_id", "left_anti")
+        return out
+
     def _postings_df(self, terms: Sequence[str],
                      with_scores: bool = False) -> DataFrame:
         meta = self._term_meta(terms)
@@ -287,26 +319,47 @@ class SearchEngine:
         return joined.filter(cond).select("doc_id").orderBy("doc_id")
 
     def search_phrase_contiguous(self, tokens: Sequence[str],
-                                 log: bool = False) -> DataFrame:
+                                 log: bool = False,
+                                 use_positions: Optional[bool] = None
+                                 ) -> DataFrame:
         """TRUE contiguous phrase match — an EXTENSION beyond the
         reference (its PHRASE is first-occurrence order only,
         index.py:432-448; pinned as ``search(..., "phrase")``).
 
-        Scale shape: AND-candidates come from the inverted index (cheap,
-        pruned), then ONE vectorized re-tokenize pass over the candidate
-        docs verifies adjacency of the ordered morph stream — positions
-        are recomputed for candidates instead of stored for the whole
-        corpus (at 10^12 turns, full positional postings would dominate
-        index size; recomputing over the candidate set touches only
-        ~df(rarest term) docs). The verify stage is an Arrow
-        ``mapInPandas`` over (doc_id, text) — no per-row Python crosses
-        the JVM boundary.
+        Two equivalent plans (pytest-pinned identical):
+
+        - **recompute** (default without stored positions): AND
+          candidates from the inverted index, then ONE vectorized
+          re-tokenize pass over the candidate docs verifies adjacency
+          of the ordered morph stream. Positions touch only
+          ~df(rarest term) docs — the right trade when positions
+          aren't stored (full positional postings dominate index size
+          for indexes that never serve phrase queries).
+        - **stored** (default when the index was built with
+          ``store_positions=True``): decode the query terms' stored
+          position lists (blocks already pruned to the query terms),
+          semi-join to the candidates, pivot per-doc positions per
+          term, and check adjacency with a codegen'd ``exists(...)``
+          array expression — no Python re-tokenize, so the verify cost
+          is bounded by posting decode instead of per-doc morphological
+          analysis. For a phrase of common morphs at the 100 TB target
+          the candidate set is df(rarest)-bounded but still huge; this
+          path removes the Python floor.
+
+        ``use_positions`` forces a path (tests pin parity with both).
         """
         import pandas as pd
         q = tk.tokenize_with_order(" ".join(tokens))
         empty = self.spark.createDataFrame([], "doc_id long")
         if not q:
             return empty
+        stored = (self.has_positions if use_positions is None
+                  else use_positions)
+        if stored:
+            if not self.has_positions:
+                raise ValueError("use_positions=True on an index built "
+                                 "without store_positions")
+            return self._phrase_from_positions(q, log=log)
         # candidates come from the MORPH terms (the same stream the
         # adjacency check runs on): a query word that segments into
         # multiple morphs is not itself an indexed term, so AND over the
@@ -328,6 +381,41 @@ class SearchEngine:
                 yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
 
         return cand_docs.mapInPandas(verify, "doc_id long").orderBy("doc_id")
+
+    def _phrase_from_positions(self, q: List[str], log: bool) -> DataFrame:
+        """Stored-positions adjacency check (see
+        :meth:`search_phrase_contiguous`). All-JVM after the position
+        decode: per-candidate (term → positions) map, then
+        ``exists(P0, p -> ∀i: array_contains(Pi, p+i))`` in codegen."""
+        m = len(q)
+        candidates = self.search(q, "and", log=log)
+        uniq = list(dict.fromkeys(q))
+        meta = self._term_meta(uniq)
+        if len(meta) < len(uniq):
+            return self.spark.createDataFrame([], "doc_id long")
+        pos = (self._decode_positions(self._blocks_for(meta))
+               .join(candidates, "doc_id", "left_semi"))
+        per_doc = (pos.groupBy("doc_id")
+                   .agg(F.map_from_entries(F.collect_list(
+                       F.struct("term", "positions"))).alias("_m")))
+        p_cols = [F.element_at("_m", F.lit(t)).alias(f"_P{i}")
+                  for i, t in enumerate(q)]
+        with_cols = per_doc.select("doc_id", *p_cols)
+        nn = F.lit(True)
+        for i in range(m):
+            nn = nn & F.col(f"_P{i}").isNotNull()
+        if m == 1:
+            cond = F.size("_P0") > 0
+        else:
+            def follows(p):
+                c = F.lit(True)
+                for i in range(1, m):
+                    c = c & F.array_contains(
+                        F.col(f"_P{i}"), (p + F.lit(i)).cast("int"))
+                return c
+            cond = F.exists("_P0", follows)
+        return (with_cols.filter(nn & cond)
+                .select("doc_id").orderBy("doc_id"))
 
     def search_complex(self, req: Union[ComplexRequest, SearchRequest],
                        log: bool = True) -> DataFrame:
