@@ -91,7 +91,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--out", default=os.path.join(
-        REPO, "BENCH", "mutation_leg_r5.json"))
+        REPO, "BENCH", "mutation_leg_r6.json"))
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -119,8 +119,23 @@ def main() -> None:
         cluster_rows=cluster_rows).cache()
     tdf.count()
     t0 = time.time()
-    build.build_index(spark, tdf, root)
+    manifest = build.build_index(spark, tdf, root)
     record["base_build_sec"] = round(time.time() - t0, 1)
+
+    # the base corpus is the SAME deterministic bench corpus, so the
+    # stored oracle-anchored _v2 golden (boolean/BM25/phrase/
+    # suggestions/df) must hold on this round's code BEFORE any
+    # mutation runs — the mutation leg then re-proves those families
+    # post-append/delete/compact via the fingerprint parity below
+    import argparse as _ap
+
+    import bench as _bench
+    status = _bench.check_golden(
+        SearchEngine(spark, root), manifest, args.turns,
+        _ap.Namespace(min_words=3, max_words=60, anchor_oracle=False),
+        cluster_rows, tdf=None)
+    assert status == "ok", f"base golden not previously recorded: {status}"
+    record["base_golden_v2"] = status
 
     # --- append: fresh turns + guaranteed dup-conflicts ------------------
     dup_n = args.append_turns // 10
