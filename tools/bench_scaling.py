@@ -199,14 +199,21 @@ def run_once(cores: int, sf_dir: str, turns: int) -> dict:
         r = json.loads(lines[-1])
         r["leg_steal_pct"] = round(
             100.0 * (st1 - st0) / max(1, tot1 - tot0), 2)
-        if r["leg_steal_pct"] > GATE_STEAL_PCT and gate_budget > 0:
-            gate_budget -= 1
-            gated.append({"sec": round(r["queries"]["index_build"], 2),
-                          "steal_pct": r["leg_steal_pct"]})
-            print(f"leg GATED (steal {r['leg_steal_pct']}% > "
-                  f"{GATE_STEAL_PCT}%) {cores}c/{turns}t — retrying",
-                  file=sys.stderr)
-            continue
+        if r["leg_steal_pct"] > GATE_STEAL_PCT:
+            if gate_budget > 0:
+                gate_budget -= 1
+                gated.append(
+                    {"sec": round(r["queries"]["index_build"], 2),
+                     "steal_pct": r["leg_steal_pct"]})
+                print(f"leg GATED (steal {r['leg_steal_pct']}% > "
+                      f"{GATE_STEAL_PCT}%) {cores}c/{turns}t — retrying",
+                      file=sys.stderr)
+                continue
+            # budget exhausted: the returned leg is itself above the
+            # gate — mark it so the session record is machine-readably
+            # invalid-by-construction (r6 ADVICE: detecting exhaustion
+            # used to require correlating steal lists with retry counts)
+            r["gate_exhausted"] = True
         r["gated_attempts"] = gated
         return r
 
@@ -229,8 +236,12 @@ def interleaved_rounds(configs: list, sf_dir: str, repeats: int) -> dict:
         best["all_runs_sec"] = [round(r["queries"]["index_build"], 2)
                                 for r in runs]
         best["all_runs_steal_pct"] = [r.get("leg_steal_pct") for r in runs]
-        best["all_gated_attempts"] = [g for r in runs
-                                      for g in r.get("gated_attempts", [])]
+        # grouped per accepted leg (repeat i's rejected attempts at
+        # index i), not flattened — keeps per-leg attribution
+        best["all_gated_attempts"] = [r.get("gated_attempts", [])
+                                      for r in runs]
+        best["any_gate_exhausted"] = any(
+            r.get("gate_exhausted") for r in runs)
         out[cfg] = best
     return out
 
@@ -301,6 +312,11 @@ def main() -> None:
         f"steal_pct local[{lo}] @4X": r_lo4["all_runs_steal_pct"],
         f"steal_pct local[{hi}] @4X": r_hi4["all_runs_steal_pct"],
         "steal_gate_pct": GATE_STEAL_PCT,
+        # invalid-by-construction under the declared gate-exhaustion
+        # rule: some leg's accepted measurement exceeded the steal gate
+        # after retries ran out (disclosed below either way)
+        "invalid": any(by_cfg[cfg].get("any_gate_exhausted")
+                       for cfg in configs),
         "gated_retries": {
             f"local[{lo}] @X": r_lo["all_gated_attempts"],
             f"local[{hi}] @X": r_hi["all_gated_attempts"],
