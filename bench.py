@@ -126,7 +126,7 @@ def _anchor_against_oracle(tdf, got) -> None:
 
 
 def check_golden(eng, manifest, n_turns, args, cluster_rows,
-                 tdf=None) -> str:
+                 tdf=None, record=True) -> str:
     """Exact-result assertion at bench scale (reference kowiki.py:42-102
     asserts 300+ exact doc ids over 1.4M titles). Returns 'recorded' on
     first sight of this corpus key, 'ok' when results match the stored
@@ -170,6 +170,12 @@ def check_golden(eng, manifest, n_turns, args, cluster_rows,
             goldens = json.load(f)
     anchors = goldens.setdefault("_oracle_anchored", {})
     is_new = key not in goldens
+    if is_new and not record:
+        # read-only mode (r6 ADVICE): a caller asserting "the stored
+        # golden holds" must FAIL on a missing key without enshrining a
+        # golden computed from current-round code (which a re-run would
+        # then silently pass against)
+        return "missing"
     if not is_new:
         want = goldens[key]
         if want != got:
@@ -443,19 +449,23 @@ def main() -> None:
     # reported separately — including them made the headline drift with
     # host noise and with how much correctness checking the run does,
     # neither of which is engine throughput.
-    total = sum(timings.values())
+    # metric_version 3 (r6 ADVICE): batch-capability lines (batch16_*)
+    # are REPORTED in `queries` but EXCLUDED from the headline sum, so
+    # `value`'s composition is the stable r5 component set — r6's 42.81
+    # silently included the new 1.7 s batch16 line and broke the r5→r6
+    # comparison; this pins the composition going forward.
+    total = sum(v for k, v in timings.items()
+                if not k.startswith("batch16"))
     st1, tot1 = _host_steal()
     out = {
-        # metric_version 2 (r5 ADVICE): `value` is the SUM OF MIN-OF-3
-        # timed-work components (build + each query's min-of-3),
-        # excluding warm-up and golden checks — NOT wall time. r3/r4
-        # artifacts (no metric_version) used single-shot wall time and
-        # are not comparable to this value; use wall_total_sec for
-        # cross-round continuity.
+        # metric_version history: v1 (r3/r4) single-shot wall time incl.
+        # warm-up; v2 (r5/r6) sum of min-of-3 timed components; v3 (r7+)
+        # same but batch16_* capability lines excluded from the sum.
         "metric": "index build (sf*1M synthetic transcript turns) + "
                   "BM25/boolean/dedup/similarity query suite: sum of "
-                  "min-of-3 timed components (excl. warm-up)",
-        "metric_version": 2,
+                  "min-of-3 timed components (excl. warm-up and "
+                  "batch16_* capability lines)",
+        "metric_version": 3,
         "value": round(total, 2),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},

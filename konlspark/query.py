@@ -395,7 +395,17 @@ class SearchEngine:
             return self.spark.createDataFrame([], "doc_id long")
         pos = (self._decode_positions(self._blocks_for(meta))
                .join(candidates, "doc_id", "left_semi"))
-        per_doc = (pos.groupBy("doc_id")
+        # merge per (doc_id, term) BEFORE map_from_entries (r6 ADVICE):
+        # under mapKeyDedupPolicy=EXCEPTION a duplicate (term, doc_id)
+        # row — any future break of the one-block-per-(term,doc)
+        # invariant across base + append parts — would otherwise fail
+        # the whole query with an opaque duplicate-key error. The merge
+        # agg is cheap: input is already semi-joined to the AND
+        # candidate set, and the second shuffle sees ≤1 row/doc-term.
+        per_term = (pos.groupBy("doc_id", "term")
+                    .agg(F.array_sort(F.flatten(F.collect_list(
+                        "positions"))).alias("positions")))
+        per_doc = (per_term.groupBy("doc_id")
                    .agg(F.map_from_entries(F.collect_list(
                        F.struct("term", "positions"))).alias("_m")))
         p_cols = [F.element_at("_m", F.lit(t)).alias(f"_P{i}")

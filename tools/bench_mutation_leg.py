@@ -130,10 +130,13 @@ def main() -> None:
     import argparse as _ap
 
     import bench as _bench
+    # record=False (r6 ADVICE): a missing base golden must fail loudly
+    # WITHOUT writing one — otherwise the failed run enshrines a golden
+    # from current-round code and a re-run passes vacuously
     status = _bench.check_golden(
         SearchEngine(spark, root), manifest, args.turns,
         _ap.Namespace(min_words=3, max_words=60, anchor_oracle=False),
-        cluster_rows, tdf=None)
+        cluster_rows, tdf=None, record=False)
     assert status == "ok", f"base golden not previously recorded: {status}"
     record["base_golden_v2"] = status
 
