@@ -400,6 +400,52 @@ def main() -> None:
         timed2("batch16_bm25", lambda: eng.bm25_topk_batch(
             batch16, k=10).collect())
 
+        # batch-path MaxScore (r7): a rare+head batch — every 4th of 16
+        # queries pairs the clustered rare term with the head term, the
+        # regime where a 100 TB batch would otherwise decode the head
+        # term's 10^9+ postings fully for the whole batch. At sandbox
+        # scale the production gate (MAXSCORE_MIN_NE_POSTINGS) keeps
+        # pruning off (the skipped decode is ~65k postings vs a ~0.3 s
+        # extra-job floor), so the pruned timing TEMPORARILY drops the
+        # gate to measure the ENGAGED plan — disclosed via
+        # batch_maxscore_gate_dropped_for_timing. The pair is a
+        # no-regression guard at this scale; the scale story is the
+        # decode-reduction extras (the batch's essential union is the
+        # same rare term as the single-query rare+head pair, so
+        # maxscore_decode_reduction applies to the batch plan
+        # unchanged). Results are asserted identical both ways.
+        base_nh = [t for t in base if t != head_term]
+        batch_rh = {f"b{i:02d}": (rh if i % 4 == 0 else
+                                  [base_nh[i % len(base_nh)],
+                                   base_nh[(i + 3) % len(base_nh)]])
+                    for i in range(16)}
+
+        def batch_rows(use_wand):
+            got = {}
+            for r in eng.bm25_topk_batch(batch_rh, k=10,
+                                         use_wand=use_wand).collect():
+                got.setdefault(r["query_id"], []).append(
+                    (r["doc_id"], round(r["score"], 6)))
+            return got
+
+        brh_exact = batch_rows(False)
+        old_gate = eng.MAXSCORE_MIN_NE_POSTINGS
+        eng.MAXSCORE_MIN_NE_POSTINGS = 0
+        try:
+            meta_b, rows_b, _ = eng._batch_qmap(batch_rh, "or")
+            probe = eng._batch_maxscore_scored(meta_b, rows_b, 10)
+            extras["batch_maxscore_engaged"] = probe is not None
+            if probe is not None:
+                probe[1]()
+            assert batch_rows(True) == brh_exact, "batch MaxScore != exact"
+            timed2("batch16_rh_wand", lambda: eng.bm25_topk_batch(
+                batch_rh, k=10, use_wand=True).collect())
+        finally:
+            eng.MAXSCORE_MIN_NE_POSTINGS = old_gate
+        timed2("batch16_rh_exact", lambda: eng.bm25_topk_batch(
+            batch_rh, k=10, use_wand=False).collect())
+        extras["batch_maxscore_gate_dropped_for_timing"] = True
+
         q_total = sum(v for k, v in timings.items() if k.startswith("q"))
         n_q = sum(1 for k in timings if k.startswith("q"))
         extras["search_queries_per_sec"] = (

@@ -588,28 +588,49 @@ class SearchEngine:
         return out.orderBy("query_id", "doc_id")
 
     def bm25_topk_batch(self, queries: Dict[str, Sequence[str]],
-                        k: int = 10, mode: str = "or") -> DataFrame:
+                        k: int = 10, mode: str = "or",
+                        use_wand: bool = True) -> DataFrame:
         """B BM25 queries in one plan → DataFrame(query_id, doc_id,
         score): per query, the same top-k rows (desc score, ties by
-        ascending doc_id) as :meth:`bm25_topk`. Always the exact path —
-        batching amortizes the job floor that per-query block-max
-        pruning exists to fight at sandbox scale, and the decode volume
-        is shared across queries (a head term decodes once for every
-        query that uses it)."""
+        ascending doc_id) as :meth:`bm25_topk`. The decode volume is
+        shared across queries (a head term decodes once for every query
+        that uses it); batching amortizes the per-query job floor.
+
+        With ``use_wand`` (default) the batch additionally applies a
+        SHARED-CANDIDATE MaxScore split (:meth:`_batch_maxscore_scored`)
+        when the per-query df pre-gates say it pays: at the 100 TB
+        target a batch containing one rare+head query would otherwise
+        decode the head term's 10^9+ postings fully for the whole
+        batch. Falls back to the exact plan whenever no query splits or
+        pruning can't pay (same gates as :meth:`bm25_topk`)."""
         mode = mode.lower()
         empty = self.spark.createDataFrame(
             [], "query_id string, doc_id long, score double")
         if k <= 0:
             return empty
         meta, rows, nreq = self._batch_qmap(queries, mode)
-        scored = self._batch_joined(meta, rows, nreq, mode, with_scores=True)
-        if scored is None:
+        if not rows:
             return empty
-        # two-stage partial top-k per query: sort key (score, -doc_id)
-        # descending == (score desc, doc_id asc), the single-query
-        # ordering. Stage 1 keeps ≤ k rows per (query, input partition);
-        # stage 2 merges ≤ k·P structs per query — tiny arrays, never a
-        # full per-query sort on one task.
+        if use_wand and self.wand_safe and mode == "or":
+            pruned = self._batch_maxscore_scored(meta, rows, k)
+            if pruned is not None:
+                scored, release = pruned
+                try:
+                    out_rows = self._batch_topk(scored, k).collect()
+                finally:
+                    release()
+                return self.spark.createDataFrame(
+                    out_rows, "query_id string, doc_id long, score double")
+        scored = self._batch_joined(meta, rows, nreq, mode, with_scores=True)
+        return self._batch_topk(scored, k)
+
+    def _batch_topk(self, scored: DataFrame, k: int) -> DataFrame:
+        """Two-stage partial top-k per query over (query_id, doc_id,
+        score) rows: sort key (score, -doc_id) descending == (score
+        desc, doc_id asc), the single-query ordering. Stage 1 keeps ≤ k
+        rows per (query, input partition); stage 2 merges ≤ k·P structs
+        per query — tiny arrays, never a full per-query sort on one
+        task."""
         srt = F.struct(F.col("score"), (-F.col("doc_id")).alias("_nid"))
         part = (scored
                 .groupBy("query_id", F.spark_partition_id().alias("_pid"))
@@ -624,10 +645,164 @@ class SearchEngine:
                         F.col("_s.score").alias("score"))
                 .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
 
+    def _batch_maxscore_scored(self, meta: Dict[str, dict], rows: list,
+                               k: int):
+        """Shared-candidate MaxScore for the batch (OR mode): per-query
+        (E, NE) splits from ONE stats job, decode the union of
+        essential + exact-query terms fully, prune each remaining term
+        against the candidates of the queries that hold IT in NE.
+
+        Correctness per split query q: its τ_q proof (see
+        :meth:`_maxscore_topk`) says any doc holding no E_q term misses
+        q's top-k, so restricting q's rows to cand_q = docs with ≥1 E_q
+        term is exact. A pruned term t's blocks are kept if they
+        contain a candidate of ANY query holding t in NE — a superset
+        of every such query's requirement — and t's decoded rows are
+        trimmed to that same per-term candidate set, a superset of each
+        relevant cand_q; the final per-query semi-restriction then
+        lands exactly on cand_q. Queries that don't split (symmetric,
+        single-term, or gated) keep their full exact rows — their terms
+        are forced into the full-decode set, as are pruned terms whose
+        per-term density estimate says pruning can't pay (demotion =
+        the exact path for that term).
+
+        Returns None (→ caller's exact path) when no query splits, no
+        term is prunable after the full-decode union, or the density
+        estimate says pruning can't pay. Otherwise returns
+        ``(scored_rows_df, release_fn)`` — the caller MUST materialize
+        and call ``release_fn`` (the candidate pairs are persisted
+        because they feed both the broadcast pruning job and the final
+        restriction join)."""
+        qterms: Dict[str, list] = {}
+        for qid, t in rows:
+            qterms.setdefault(qid, []).append(t)
+        idf = {t: bm25_idf(self.n_docs, m["df"]) for t, m in meta.items()}
+        # per-query df pre-gate — driver-only, zero extra jobs (same
+        # asymmetry/cap/min-NE conditions as the single-query gate)
+        prelim = []
+        for qid, ts in qterms.items():
+            if len(ts) < 2:
+                continue
+            dfs = sorted(meta[t]["df"] for t in ts)
+            if (dfs[-1] >= self.MAXSCORE_MIN_DF_RATIO * dfs[0]
+                    and dfs[0] <= self.MAXSCORE_MAX_CANDIDATES
+                    and sum(dfs) - dfs[0] >= self.MAXSCORE_MIN_NE_POSTINGS):
+                prelim.append(qid)
+        if not prelim:
+            return None
+        stats = {r["term"]: r for r in
+                 self._maxscore_stats(self._blocks_for(meta), k)}
+        splits = {}
+        for qid in prelim:
+            s = self._maxscore_split(
+                qterms[qid], meta, idf, stats, k)
+            if s is not None:
+                splits[qid] = s
+        if not splits:
+            return None
+        full: set = set()
+        for qid, ts in qterms.items():
+            full.update(splits[qid][0] if qid in splits else ts)
+        pruned_set = {t for qid in splits
+                      for t in splits[qid][1]} - full
+        if not pruned_set:
+            return None  # every NE term is decoded anyway — no gain
+        # PER-TERM density gate (not all-or-nothing): a pruned term t's
+        # blocks only need to contain candidates of the queries that
+        # hold t in NE, so t's keep-estimate uses ITS relevant
+        # essential union E_t — a batch mixing one clustered rare+head
+        # query with scattered mid-df queries prunes the head term hard
+        # even though the scattered queries' candidates span the
+        # corpus. Terms whose estimate says pruning can't pay are
+        # DEMOTED to the full-decode set (exactly the exact path for
+        # them); demotion is non-cascading (e_for[t] is independent of
+        # other terms' status).
+        e_for = {t: set() for t in pruned_set}
+        for qid, (E, NE) in splits.items():
+            for t in NE:
+                if t in pruned_set:
+                    e_for[t].update(E)
+        # per-E-term doc-id spans come free from the stats job
+        rngs = stats
+        bs = int(self.manifest.get("block_size", 128))
+        corpus_span = max(1, int(self.manifest.get(
+            "max_doc_id", self.n_docs)))
+        for t in sorted(pruned_set):
+            es = e_for[t]
+            span = (max(rngs[e]["hi"] for e in es)
+                    - min(rngs[e]["lo"] for e in es) + 1)
+            n_cand_est = sum(meta[e]["df"] for e in es)
+            frac = min(1.0, span / corpus_span,
+                       n_cand_est * bs * (stats[t]["ms"] + 1)
+                       / meta[t]["df"])
+            if frac > 0.5:
+                pruned_set.discard(t)
+                full.add(t)
+        if not pruned_set:
+            return None  # nothing prunes profitably: pure exact path
+        # queries still relying on pruning (NE ∩ pruned ≠ ∅) need the
+        # candidate restriction; a split query whose NE all demoted has
+        # complete rows for every doc and passes through like an exact
+        # query (its E ⊆ full already)
+        active = {qid: s for qid, s in splits.items()
+                  if set(s[1]) & pruned_set}
+        e_union = sorted({t for qid in active for t in active[qid][0]})
+        from pyspark import StorageLevel
+        emap = self.spark.createDataFrame(
+            [(qid, t) for qid, (E, _) in active.items() for t in E],
+            "query_id string, term string")
+        cand_pairs = (
+            self._decode(self._blocks_for(
+                {t: meta[t] for t in e_union}), idf)
+            .join(F.broadcast(emap), "term")
+            .select("query_id", "doc_id").distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        # per-term candidate relation for block pruning: (term, doc_id)
+        # pairs — term t keeps a block iff it contains a candidate of
+        # some query holding t in NE. Broadcast size is bounded by
+        # Σ_t |cand(E_t)| ≤ |pruned| · MAXSCORE_MAX_CANDIDATES.
+        ne_t_map = self.spark.createDataFrame(
+            [(qid, t) for qid, (_, NE) in active.items()
+             for t in NE if t in pruned_set],
+            "query_id string, term string")
+        cand_by_term = (cand_pairs
+                        .join(F.broadcast(ne_t_map), "query_id")
+                        .select("term", "doc_id").distinct())
+        kept = self._blocks_for(
+            {t: meta[t] for t in sorted(pruned_set)}).alias("b").join(
+            F.broadcast(cand_by_term).alias("c"),
+            (F.col("c.term") == F.col("b.term"))
+            & (F.col("c.doc_id") >= F.col("b.first_doc_id"))
+            & (F.col("c.doc_id") <= F.col("b.last_doc_id")), "left_semi")
+        dec_pruned = (self._decode(kept, idf)
+                      .join(cand_by_term, ["term", "doc_id"], "left_semi"))
+        dec_full = self._decode(
+            self._blocks_for({t: meta[t] for t in sorted(full)}), idf)
+        all_rows = (dec_full.select("term", "doc_id", "score")
+                    .unionByName(
+                        dec_pruned.select("term", "doc_id", "score")))
+        qmap = self.spark.createDataFrame(
+            [(qid, t, qid in active) for qid, t in rows],
+            "query_id string, term string, _split boolean")
+        # per-query candidate restriction: a left join on the SAME
+        # (query_id, doc_id) key as the groupBy that follows, so the
+        # exchange is reused — active split queries keep only cand_q
+        # rows, the rest pass through untouched
+        joined = all_rows.join(F.broadcast(qmap), "term")
+        restricted = (
+            joined.join(cand_pairs.withColumn("_c", F.lit(True)),
+                        ["query_id", "doc_id"], "left")
+            .filter((~F.col("_split")) | F.col("_c").isNotNull()))
+        scored = (restricted.groupBy("query_id", "doc_id")
+                  .agg(F.sum("score").alias("score")))
+        return scored, lambda: cand_pairs.unpersist()
+
     def _per_term_block_stats(self, blocks: DataFrame, k: int) -> DataFrame:
-        """Per-term ``(mw, nb, ms, kth)`` over block METADATA via a
-        two-stage partial top-k — only the k-th largest VALUE is ever
-        needed, never a full per-term sort.
+        """Per-term ``(mw, nb, ms, lo, hi, kth)`` over block METADATA
+        via a two-stage partial top-k — only the k-th largest VALUE is
+        ever needed, never a full per-term sort. ``lo``/``hi`` (the
+        term's doc-id span) ride along in the same aggregation so the
+        density estimates downstream never need a second metadata job.
 
         Stage 1 aggregates per ``(term, input partition)``: count, max
         salt, and the partition-local top-k of ``block_max_w`` (a sorted
@@ -644,11 +819,14 @@ class SearchEngine:
         head term's metadata spreads over every input partition; the
         second shuffle carries ≤ k·P tiny arrays. All-JVM codegen."""
         part = (
-            blocks.select("term", "salt", "block_max_w")
+            blocks.select("term", "salt", "block_max_w",
+                          "first_doc_id", "last_doc_id")
             .withColumn("_pid", F.spark_partition_id())
             .groupBy("term", "_pid")
             .agg(F.count("*").alias("_c"),
                  F.max("salt").alias("_ms"),
+                 F.min("first_doc_id").alias("_lo"),
+                 F.max("last_doc_id").alias("_hi"),
                  F.slice(F.sort_array(F.collect_list("block_max_w"),
                                       asc=False), 1, k).alias("_top"))
         )
@@ -656,11 +834,13 @@ class SearchEngine:
             part.groupBy("term")
             .agg(F.sum("_c").alias("nb"),
                  F.max("_ms").alias("ms"),
+                 F.min("_lo").alias("lo"),
+                 F.max("_hi").alias("hi"),
                  F.reverse(F.array_sort(F.flatten(
                      F.collect_list("_top")))).alias("_all"))
             .select("term",
                     F.element_at("_all", 1).alias("mw"),
-                    "nb", "ms",
+                    "nb", "ms", "lo", "hi",
                     F.element_at(
                         "_all",
                         F.least(F.lit(k), F.col("nb")).cast("int"))
@@ -673,6 +853,40 @@ class SearchEngine:
         provable τ lower bound), the block count and the salt-split
         count (→ block-span estimate). Never decodes."""
         return self._per_term_block_stats(blocks, k).collect()
+
+    def _maxscore_split(self, terms: Sequence[str], meta: Dict[str, dict],
+                        idf: Dict[str, float], stats: Dict[str, dict],
+                        k: int) -> Optional[tuple]:
+        """Driver-side (E, NE) split from per-term block stats (see
+        :meth:`_maxscore_topk` steps 1-2): smallest σ-descending prefix
+        E whose provable τ lower bound exceeds Σ_{NE} σ, subject to the
+        candidate cap and the minimum-NE-decode gates. Shared by the
+        single-query and batch paths — the batch feeds every query's
+        split the SAME stats job's rows. Returns None when no valid
+        split exists (caller falls back to exact)."""
+        if any(t not in stats for t in terms):
+            return None
+        mw = {t: stats[t]["mw"] for t in terms}
+        nb = {t: stats[t]["nb"] for t in terms}
+        kth = {t: stats[t]["kth"] for t in terms}
+        sigma = {t: idf[t] * mw[t] for t in terms}
+        by_sigma = sorted(terms, key=lambda t: (-sigma[t], t))
+        total_df = sum(meta[t]["df"] for t in terms)
+        cap = min(self.MAXSCORE_MAX_CANDIDATES,
+                  int(self.MAXSCORE_MAX_DF_FRAC * total_df))
+        for e in range(1, len(by_sigma)):
+            E, NE = by_sigma[:e], by_sigma[e:]
+            if sum(meta[t]["df"] for t in E) > cap:
+                break  # df_E only grows with e
+            if sum(meta[t]["df"] for t in NE) < self.MAXSCORE_MIN_NE_POSTINGS:
+                break  # decode savings shrink with e — no later split pays
+            taus = [idf[t] * kth[t] for t in E
+                    if nb[t] >= k and kth[t] is not None]
+            if not taus:
+                continue
+            if sum(sigma[t] for t in NE) < max(taus):
+                return E, NE
+        return None
 
     def _maxscore_topk(self, meta: Dict[str, dict], idf: Dict[str, float],
                        k: int) -> Optional[DataFrame]:
@@ -722,35 +936,14 @@ class SearchEngine:
         Returns None when no valid split exists (falls back to exact).
         """
         terms = list(meta)
-        stats = self._maxscore_stats(self._blocks_for(meta), k)
-        if len(stats) < len(terms):
-            return None
-        mw = {r["term"]: r["mw"] for r in stats}
-        nb = {r["term"]: r["nb"] for r in stats}
-        ms = {r["term"]: r["ms"] for r in stats}
-        kth = {r["term"]: r["kth"] for r in stats}
-        sigma = {t: idf[t] * mw[t] for t in terms}
-        by_sigma = sorted(terms, key=lambda t: (-sigma[t], t))
-        total_df = sum(meta[t]["df"] for t in terms)
-        cap = min(self.MAXSCORE_MAX_CANDIDATES,
-                  int(self.MAXSCORE_MAX_DF_FRAC * total_df))
-        split = None
-        for e in range(1, len(by_sigma)):
-            E, NE = by_sigma[:e], by_sigma[e:]
-            if sum(meta[t]["df"] for t in E) > cap:
-                break  # df_E only grows with e
-            if sum(meta[t]["df"] for t in NE) < self.MAXSCORE_MIN_NE_POSTINGS:
-                break  # decode savings shrink with e — no later split pays
-            taus = [idf[t] * kth[t] for t in E
-                    if nb[t] >= k and kth[t] is not None]
-            if not taus:
-                continue
-            if sum(sigma[t] for t in NE) < max(taus):
-                split = (E, NE)
-                break
+        stats = {r["term"]: r for r in
+                 self._maxscore_stats(self._blocks_for(meta), k)}
+        split = self._maxscore_split(terms, meta, idf, stats, k)
         if split is None:
             return None
         E, NE = split
+        nb = {t: stats[t]["nb"] for t in terms}
+        ms = {t: stats[t]["ms"] for t in terms}
         df_e = sum(meta[t]["df"] for t in E)
         bs = int(self.manifest.get("block_size", 128))
         corpus_span = max(1, int(self.manifest.get("max_doc_id", self.n_docs)))
@@ -768,8 +961,12 @@ class SearchEngine:
 
         if df_e <= self.MAXSCORE_DRIVER_CANDIDATES:
             return self._maxscore_driver(meta, idf, k, E, NE, prune_pays)
+        # the E-terms' doc-id span rides along in the stats job — no
+        # separate metadata job for the density estimate
+        rng = (min(stats[t]["lo"] for t in E),
+               max(stats[t]["hi"] for t in E))
         return self._maxscore_distributed(meta, idf, k, E, NE, prune_pays,
-                                          blocks_e)
+                                          blocks_e, rng)
 
     def _maxscore_driver(self, meta, idf, k, E, NE, prune_pays
                          ) -> Optional[DataFrame]:
@@ -850,19 +1047,16 @@ class SearchEngine:
         return self.spark.createDataFrame(rows, "doc_id long, score double")
 
     def _maxscore_distributed(self, meta, idf, k, E, NE, prune_pays,
-                              blocks_e) -> Optional[DataFrame]:
+                              blocks_e, rng) -> Optional[DataFrame]:
         """Large-candidate path (Σ df(essential) beyond the driver
         bound): partial scores stay a persisted DataFrame; NE blocks
         are pruned by a doc-id-range semi-join on the metadata columns
         (broadcast of the distinct candidate ids, range predicate
-        alone). The candidate range for the density estimate comes
-        from the E terms' block metadata (min first / max last — no
-        extra job)."""
+        alone). The candidate range ``rng`` for the density estimate
+        comes from the stats job's per-term spans — no extra job."""
         from pyspark import StorageLevel
-        rng = blocks_e.agg(F.min("first_doc_id").alias("lo"),
-                           F.max("last_doc_id").alias("hi")).collect()[0]
         df_e = sum(meta[t]["df"] for t in E)
-        if not prune_pays(df_e, int(rng["lo"]), int(rng["hi"])):
+        if not prune_pays(df_e, int(rng[0]), int(rng[1])):
             return None
         partial = (
             self._decode(blocks_e, idf)

@@ -203,20 +203,24 @@ def test_maxscore_paths_leak_no_resources(clustered_engine, spark):
 def test_per_term_block_stats_semantics(clustered_engine, spark):
     """The two-stage partial top-k must reproduce the old window
     semantics exactly: mw = max, nb = count, ms = max salt, kth = k-th
-    largest block_max_w (min of all when a term has < k blocks)."""
+    largest block_max_w (min of all when a term has < k blocks), plus
+    the r7 ride-along doc-id span lo = min first / hi = max last."""
     eng = clustered_engine
     rows = [
-        # term a: 5 blocks across salts, known weights
-        ("a", 0, 0, 9.0), ("a", 0, 1, 7.0), ("a", 1, 0, 8.0),
-        ("a", 1, 1, 3.0), ("a", 2, 0, 5.0),
+        # term a: 5 blocks across salts, known weights + doc spans
+        ("a", 0, 0, 9.0, 0, 10), ("a", 0, 1, 7.0, 11, 20),
+        ("a", 1, 0, 8.0, 2, 15), ("a", 1, 1, 3.0, 16, 30),
+        ("a", 2, 0, 5.0, 5, 25),
         # term b: fewer blocks than k
-        ("b", 0, 0, 2.0), ("b", 0, 1, 4.0),
+        ("b", 0, 0, 2.0, 100, 110), ("b", 0, 1, 4.0, 111, 120),
         # term c: one block
-        ("c", 0, 0, 1.5),
+        ("c", 0, 0, 1.5, 7, 7),
     ]
     blocks = spark.createDataFrame(
-        rows, "term string, salt int, block_seq int, block_max_w double"
+        rows, "term string, salt int, block_seq int, block_max_w double,"
+        " first_doc_id long, last_doc_id long"
     ).repartition(5)  # spread rows over partitions: the two-stage merge
+    spans = {"a": (0, 30), "b": (100, 120), "c": (7, 7)}
     for k, want in [
         (3, {"a": (9.0, 5, 2, 7.0), "b": (4.0, 2, 0, 2.0),
              "c": (1.5, 1, 0, 1.5)}),
@@ -225,6 +229,8 @@ def test_per_term_block_stats_semantics(clustered_engine, spark):
         (99, {"a": (9.0, 5, 2, 3.0), "b": (4.0, 2, 0, 2.0),
               "c": (1.5, 1, 0, 1.5)}),
     ]:
+        out = eng._per_term_block_stats(blocks, k).collect()
         got = {r["term"]: (r["mw"], r["nb"], r["ms"], r["kth"])
-               for r in eng._per_term_block_stats(blocks, k).collect()}
+               for r in out}
         assert got == want, (k, got, want)
+        assert {r["term"]: (r["lo"], r["hi"]) for r in out} == spans, k
