@@ -7,7 +7,7 @@ phrase query on the recompute path (plain index) vs the stored path
 (positional index) and reports the index-size delta.
 
 Usage: python tools/bench_positions_ab.py [turns] [repeats] [cores]
-Writes BENCH/positions_ab_r6.json.
+Writes BENCH/positions_ab_r{tag}.json (tag from argv[4], default r6).
 """
 
 from __future__ import annotations
@@ -34,6 +34,7 @@ def main() -> None:
     turns = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     cores = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    tag = sys.argv[4] if len(sys.argv) > 4 else "r6"
 
     from konlspark import build, corpus
     from konlspark.query import SearchEngine
@@ -104,7 +105,7 @@ def main() -> None:
         "parity": "stored == recompute on all phrases",
     }
     print(json.dumps(out))
-    with open(os.path.join(REPO, "BENCH", "positions_ab_r6.json"),
+    with open(os.path.join(REPO, "BENCH", f"positions_ab_{tag}.json"),
               "w") as f:
         json.dump(out, f, indent=1)
     for root in roots.values():
