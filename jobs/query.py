@@ -2,7 +2,8 @@
 
     spark-submit --py-files konlspark.zip jobs/query.py \
         --index /path/to/index --tokens 마법 특별 \
-        [--mode or|and|phrase|bm25] [--k 10] [--suggest-prefix 특]
+        [--mode or|and|phrase|bm25] [--k 10] [--suggest-prefix 특] \
+        [--batch-file queries.json]   # {query_id: [tokens]}, one plan
 """
 
 from __future__ import annotations
@@ -24,6 +25,11 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--no-wand", action="store_true")
     ap.add_argument("--suggest-prefix")
+    ap.add_argument("--batch-file",
+                    help="JSON file {query_id: [tokens, ...]} — runs all "
+                         "queries in ONE plan (bm25 mode uses "
+                         "bm25_topk_batch, or/and use search_batch); "
+                         "file contents dodge the argv locale trap")
     args = ap.parse_args()
 
     # spark-submit launches Python through the JVM, which decodes argv
@@ -44,6 +50,27 @@ def main() -> None:
     if args.suggest_prefix:
         print(json.dumps({"suggestions": eng.search_suggestions(
             args.suggest_prefix)}, ensure_ascii=False))
+        return
+    if args.batch_file:
+        with open(args.batch_file, encoding="utf-8") as f:
+            batch = json.load(f)
+        if args.mode == "bm25":
+            rows = eng.bm25_topk_batch(batch, k=args.k,
+                                       use_wand=not args.no_wand).collect()
+            out: dict = {}
+            for r in rows:
+                out.setdefault(r["query_id"], []).append(
+                    (r["doc_id"], r["score"]))
+        elif args.mode in ("or", "and"):
+            rows = eng.search_batch(batch, mode=args.mode).collect()
+            out = {}
+            for r in rows:
+                out.setdefault(r["query_id"], []).append(r["doc_id"])
+        else:
+            print("error: --batch-file supports modes bm25/or/and",
+                  file=sys.stderr)
+            sys.exit(2)
+        print(json.dumps({"batch": out}, ensure_ascii=False))
         return
     if args.mode == "bm25":
         rows = eng.bm25_topk(args.tokens, k=args.k,
