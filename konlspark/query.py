@@ -1234,37 +1234,44 @@ class SearchEngine:
         """Batch-log a DataFrame of query tokens (column ``token``)
         WITHOUT collecting them to the driver: semi-join ``token_dict``
         keeps tokens with ≥1 hit (the reference's per-query hit check),
-        count to reserve the seq range, then write the DataFrame
-        directly with ``seq_id = base offset + row_number`` over ONE
-        coalesced partition (a query-log append is one log file by
-        design — single-writer embedded model; bulk cluster-scale
-        logging is the streaming sink's job). Returns the number of
-        rows logged."""
-        from pyspark.sql import Window
+        then assign the reserved seq range with the SAME two-pass
+        partition-offset machinery as build doc-id assignment
+        (:func:`konlspark.build.assign_doc_ids`, order key = token):
+        range-partition + sort, one cached pass yields per-partition
+        counts, broadcast cumulative offsets stamp ``seq_id`` inside
+        every partition in parallel. No single-task window, no
+        ``coalesce(1)`` — a 10^8-token bulk log write shards across
+        partitions (the per-query ``_append_log`` hot path stays one
+        file; continuous cluster-scale logging is the streaming sink's
+        job). Returns the number of rows logged."""
+        from . import build
         self._require_writable("query logging")
-        # persist: the semi-join must execute ONCE — the count job
-        # fills the cache, the write below reads from it (without this
-        # the same lineage recomputed for the write)
+        # persist: the semi-join must execute ONCE — repartitionByRange
+        # samples its boundaries in a separate pass, which would rerun
+        # the input lineage without the cache
         hits = (tokens_df.select(F.col("token").cast("string"))
                 .join(self.token_dict.select(F.col("term").alias("token")),
                       "token", "left_semi")
                 .persist())
+        last = self._last_log_seq()
+        ranked = build.assign_doc_ids(hits, order_cols=("token",),
+                                      start_id=last + 1)
         try:
-            n = hits.count()
+            n = int(ranked._konl_n_rows)
             if n == 0:
                 return 0
-            last = self._last_log_seq()
+            # reserve BEFORE the parquet write (crash in between leaves
+            # a harmless seq gap, never a reusable range)
             self.cat.marker_reserve("query_log", last + n)
-            w = Window.orderBy("token")  # one coalesced partition: stable
-            out = (hits.coalesce(1)
-                   .withColumn("seq_id", (F.row_number().over(w)
-                                          + F.lit(last)).cast("long"))
+            out = (ranked
+                   .withColumnRenamed("doc_id", "seq_id")
                    .withColumn("ts", F.current_timestamp())
                    .withColumn("size", F.lit(1).cast("int"))
                    .select("seq_id", "ts", "token", "size"))
             out.write.mode("append").parquet(self.cat.table_path("query_log"))
             return n
         finally:
+            ranked._konl_persisted.unpersist()
             hits.unpersist()
 
     def aggregate_frequency(self) -> None:
