@@ -432,12 +432,24 @@ def main() -> None:
         old_gate = eng.MAXSCORE_MIN_NE_POSTINGS
         eng.MAXSCORE_MIN_NE_POSTINGS = 0
         try:
+            # ONE engaged-plan execution serves both the engagement
+            # check and the parity assert (r7 directive: the old
+            # separate probe ran the stats job + persist redundantly
+            # in the timed window's setup before batch_rows(True)
+            # re-ran the whole engaged plan for the assert)
             meta_b, rows_b, _ = eng._batch_qmap(batch_rh, "or")
-            probe = eng._batch_maxscore_scored(meta_b, rows_b, 10)
-            extras["batch_maxscore_engaged"] = probe is not None
-            if probe is not None:
-                probe[1]()
-            assert batch_rows(True) == brh_exact, "batch MaxScore != exact"
+            pruned = eng._batch_maxscore_scored(meta_b, rows_b, 10)
+            extras["batch_maxscore_engaged"] = pruned is not None
+            if pruned is not None:
+                scored_b, release_b = pruned
+                try:
+                    got_b = {}
+                    for r in eng._batch_topk(scored_b, 10).collect():
+                        got_b.setdefault(r["query_id"], []).append(
+                            (r["doc_id"], round(r["score"], 6)))
+                finally:
+                    release_b()
+                assert got_b == brh_exact, "batch MaxScore != exact"
             timed2("batch16_rh_wand", lambda: eng.bm25_topk_batch(
                 batch_rh, k=10, use_wand=True).collect())
         finally:

@@ -457,6 +457,13 @@ class SearchEngine:
     # shuffle into the groupBy run for minutes — pruning dominates.
     MAXSCORE_MIN_NE_POSTINGS = 5_000_000
     MAXSCORE_DRIVER_CANDIDATES = 100_000  # ≤ this → driver-assisted path
+    # Global bound on the BATCH pruning broadcast (r7 ADVICE): each
+    # split query's candidates are capped at MAXSCORE_MAX_CANDIDATES,
+    # but Σ_t |cand(E_t)| grows with the number of active split
+    # queries × pruned terms — a large batch could blow the broadcast.
+    # Terms whose driver-side estimate pushes the total past this are
+    # demoted to the full-decode (exact) set, costliest first.
+    MAXSCORE_MAX_TOTAL_CAND = 2_000_000
 
     def bm25_topk(self, tokens: Sequence[str], k: int = 10, mode: str = "or",
                   use_wand: bool = True,
@@ -602,7 +609,16 @@ class SearchEngine:
         target a batch containing one rare+head query would otherwise
         decode the head term's 10^9+ postings fully for the whole
         batch. Falls back to the exact plan whenever no query splits or
-        pruning can't pay (same gates as :meth:`bm25_topk`)."""
+        pruning can't pay (same gates as :meth:`bm25_topk`).
+
+        EAGERNESS (r7 ADVICE): when the MaxScore path engages, the
+        B×k result rows are collected to the driver and rebuilt as a
+        local DataFrame — the persisted candidate pairs must be
+        released before returning, so the pruned path cannot stay
+        lazy. B×k is small by construction (k ≤ tens, B ≤ thousands →
+        ≤ a few MB), and the global broadcast cap above bounds the
+        batches that can engage at all; the exact fallback path stays
+        fully lazy."""
         mode = mode.lower()
         empty = self.spark.createDataFrame(
             [], "query_id string, doc_id long, score double")
@@ -738,6 +754,19 @@ class SearchEngine:
             if frac > 0.5:
                 pruned_set.discard(t)
                 full.add(t)
+        # GLOBAL broadcast cap (r7 ADVICE): the per-query gate bounds
+        # each cand(E_q), but Σ_t |cand(E_t)| scales with active split
+        # queries × pruned terms. Estimate per-term cost from the df
+        # metadata already on the driver (Σ df over t's relevant
+        # essential union — an upper bound on |cand(E_t)|) and demote
+        # the costliest terms until the total fits; demotion is the
+        # exact path for that term, so correctness is untouched.
+        est = {t: sum(meta[e]["df"] for e in e_for[t]) for t in pruned_set}
+        while pruned_set and (sum(est[t] for t in pruned_set)
+                              > self.MAXSCORE_MAX_TOTAL_CAND):
+            worst = max(sorted(pruned_set), key=lambda t: est[t])
+            pruned_set.discard(worst)
+            full.add(worst)
         if not pruned_set:
             return None  # nothing prunes profitably: pure exact path
         # queries still relying on pruning (NE ∩ pruned ≠ ∅) need the
@@ -1253,10 +1282,15 @@ class SearchEngine:
                 .join(self.token_dict.select(F.col("term").alias("token")),
                       "token", "left_semi")
                 .persist())
-        last = self._last_log_seq()
-        ranked = build.assign_doc_ids(hits, order_cols=("token",),
-                                      start_id=last + 1)
+        # everything after the persist sits inside the try (r7 ADVICE):
+        # an exception in _last_log_seq or assign_doc_ids (whose count
+        # job caches a second DataFrame) must not leak either persist
+        # on a long-lived engine
+        ranked = None
         try:
+            last = self._last_log_seq()
+            ranked = build.assign_doc_ids(hits, order_cols=("token",),
+                                          start_id=last + 1)
             n = int(ranked._konl_n_rows)
             if n == 0:
                 return 0
@@ -1271,7 +1305,8 @@ class SearchEngine:
             out.write.mode("append").parquet(self.cat.table_path("query_log"))
             return n
         finally:
-            ranked._konl_persisted.unpersist()
+            if ranked is not None:
+                ranked._konl_persisted.unpersist()
             hits.unpersist()
 
     def aggregate_frequency(self) -> None:

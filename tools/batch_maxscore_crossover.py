@@ -1,0 +1,205 @@
+"""Batch-MaxScore engaged-vs-exact crossover measurement (r8 directive 1).
+
+The r7 batch pruning layer (`SearchEngine._batch_maxscore_scored`) is
+parity-proven but lost 2.6x to the exact plan at the 100k-turn bench
+scale, where the skipped head-term decode (~65k postings) is smaller
+than the pruned plan's stats-job + persist floor — so the production
+gate (`MAXSCORE_MIN_NE_POSTINGS`) keeps it off. The gate threshold,
+however, was a judgment call. This tool measures the actual crossover:
+the SAME B=16 rare+head batch as bench.py (every 4th query pairs the
+clustered rare term with the head term), run engaged (gate dropped)
+vs exact, interleaved min-of-N, at multiple corpus scales (default
+1M and 4M turns, 10x-40x the bench head-term decode volume).
+
+Per scale it records: head/rare df, the rare+head query's NE postings
+(the quantity the gate compares against), engaged/exact min-of-N
+timings with every raw run disclosed, parity (asserted, engaged ==
+exact per query), and the head-term decode reduction. The conclusion
+block states whether a crossover was observed and what the gate
+constant should be; bench/query.py cite this artifact.
+
+Writes BENCH/batch_maxscore_crossover_r8.json.
+
+Usage:
+    python tools/batch_maxscore_crossover.py [--scales 1000000,4000000]
+        [--cores 32] [--repeats 3] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _host_steal() -> tuple:
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return vals[7], sum(vals)
+
+
+def batch_queries(head_term: str) -> dict:
+    """The bench.py rare+head batch, verbatim: 16 two-term queries,
+    every 4th = (clustered rare term, head term)."""
+    base = ["마법", "특별", "건담", "같은", "비스크",
+            "spark", "query", "index"]
+    rh = ["topicmarker", head_term]
+    base_nh = [t for t in base if t != head_term]
+    return {f"b{i:02d}": (rh if i % 4 == 0 else
+                          [base_nh[i % len(base_nh)],
+                           base_nh[(i + 3) % len(base_nh)]])
+            for i in range(16)}
+
+
+def collect_rows(df) -> dict:
+    got: dict = {}
+    for r in df.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 6)))
+    return got
+
+
+def measure_scale(spark, n_turns: int, cores: int, repeats: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from konlspark import build, corpus
+    from konlspark.query import SearchEngine
+    import bench
+
+    root = f"/tmp/konlspark_xover_{os.getpid()}_{n_turns}"
+    shutil.rmtree(root, ignore_errors=True)
+    cluster_rows = min(2000, max(1300, n_turns // 50))
+    tdf = corpus.spark_make_transcripts(
+        spark, n_turns, turns_per_conv=20, seed=42,
+        min_words=3, max_words=60,
+        num_partitions=max(8, cores), cluster_rows=cluster_rows).cache()
+    tdf.count()
+    st0, tot0 = _host_steal()
+    t0 = time.time()
+    build.build_index(spark, tdf, root)
+    build_sec = round(time.time() - t0, 2)
+    tdf.unpersist()
+
+    eng = SearchEngine(spark, root)
+    head = (eng.token_dict.select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term")).first())
+    rare_df = eng._term_meta(["topicmarker"])["topicmarker"]["df"]
+    batch = batch_queries(head["term"])
+    # the quantity the production gate compares against for the
+    # rare+head queries: sum(dfs) - min(df) over the query's terms
+    ne_postings = int(head["df"])
+
+    # warm both plan shapes (codegen JIT) before any timed run
+    eng.bm25_topk_batch(batch, k=10, use_wand=False).collect()
+    exact_rows = collect_rows(eng.bm25_topk_batch(batch, k=10,
+                                                  use_wand=False))
+    old_gate = eng.MAXSCORE_MIN_NE_POSTINGS
+    eng.MAXSCORE_MIN_NE_POSTINGS = 0
+    engaged = None
+    try:
+        # parity + engagement proof: one engaged-plan execution
+        meta_b, rows_b, _ = eng._batch_qmap(batch, "or")
+        pruned = eng._batch_maxscore_scored(meta_b, rows_b, 10)
+        engaged = pruned is not None
+        parity_ok = None
+        if pruned is not None:
+            scored, release = pruned
+            try:
+                got = collect_rows(eng._batch_topk(scored, 10))
+            finally:
+                release()
+            parity_ok = got == exact_rows
+            assert parity_ok, (
+                f"batch MaxScore != exact at {n_turns} turns")
+        # interleaved timing: exact, engaged, exact, engaged, ...
+        exact_runs, engaged_runs = [], []
+        for _ in range(repeats):
+            t0 = time.time()
+            eng.bm25_topk_batch(batch, k=10, use_wand=False).collect()
+            exact_runs.append(round(time.time() - t0, 3))
+            t0 = time.time()
+            eng.bm25_topk_batch(batch, k=10, use_wand=True).collect()
+            engaged_runs.append(round(time.time() - t0, 3))
+    finally:
+        eng.MAXSCORE_MIN_NE_POSTINGS = old_gate
+    st1, tot1 = _host_steal()
+    red = bench.maxscore_reduction(eng, ["topicmarker", head["term"]])
+    shutil.rmtree(root, ignore_errors=True)
+    e_min, x_min = min(engaged_runs), min(exact_runs)
+    return {
+        "n_turns": n_turns,
+        "build_sec": build_sec,
+        "head_term_df": int(head["df"]),
+        "rare_term_df": int(rare_df),
+        "rh_query_ne_postings": ne_postings,
+        "batch_maxscore_engaged": engaged,
+        "parity_ok": parity_ok,
+        "exact_runs_sec": exact_runs,
+        "engaged_runs_sec": engaged_runs,
+        "exact_min_sec": x_min,
+        "engaged_min_sec": e_min,
+        "engaged_over_exact": round(e_min / x_min, 3),
+        "engaged_wins": e_min < x_min,
+        "steal_pct": round(100.0 * (st1 - st0) / max(1, tot1 - tot0), 2),
+        **{k: v for k, v in red.items()},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1000000,4000000")
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "BENCH", "batch_maxscore_crossover_r8.json"))
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from konlspark.session import get_spark
+    parts = max(8, min(3 * args.cores,
+                       max(args.cores, max(scales) // 3000)))
+    spark = get_spark("konlspark-crossover", cores=args.cores,
+                      shuffle_partitions=parts)
+
+    per_scale = [measure_scale(spark, n, args.cores, args.repeats)
+                 for n in scales]
+    wins = [s for s in per_scale if s["engaged_wins"]]
+    if wins:
+        gate_at = min(s["rh_query_ne_postings"] for s in wins)
+        conclusion = (
+            f"engaged beats exact from {wins[0]['n_turns']} turns "
+            f"(NE postings {gate_at}); gate set to the measured point")
+    else:
+        biggest = per_scale[-1]
+        gate_at = None
+        conclusion = (
+            f"exact wins through {biggest['n_turns']} turns (engaged/"
+            f"exact {biggest['engaged_over_exact']}x at NE postings "
+            f"{biggest['rh_query_ne_postings']}); the crossover is above "
+            f"every scale this sandbox can build — gate unreachable "
+            f"below {biggest['rh_query_ne_postings']} NE postings, "
+            f"constant kept above that by extrapolation")
+    out = {
+        "what": "B=16 rare+head batch, engaged (gate dropped) vs exact, "
+                "interleaved min-of-N per scale, parity asserted per "
+                "scale (r8 directive 1)",
+        "cores": args.cores,
+        "repeats": args.repeats,
+        "scales": per_scale,
+        "crossover_ne_postings": gate_at,
+        "conclusion": conclusion,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

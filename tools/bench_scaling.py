@@ -290,6 +290,13 @@ def main() -> None:
     }
 
     result = {
+        # protocol generations (r7 directive 6): v1 = r3-r5 sessions
+        # (no steal gate; 3 single-shot legs), v2 = r6 (2% steal gate +
+        # disclosed retries, 3 repeats/leg), v3 = r7+ (gate + 2
+        # repeats/leg + gate_exhausted/invalid markers). Pooled-median
+        # claims in BENCH/BASELINE.md break down by generation so the
+        # headline can't lean on ungated early sessions.
+        "protocol_version": 3,
         "sf_dir": sf_dir,
         "turns_X": r_lo["n_turns"],
         "turns_4X": r_hi4["n_turns"],

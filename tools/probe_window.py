@@ -1,7 +1,7 @@
 """Quiet-band launch probe (r6/r7 scaling protocol).
 
 One RAW (ungated, single-shot) 16c@4M build leg with pinned-cpuset
-steal measurement, appended to BENCH/probe_log_r7.jsonl. The session
+steal measurement, appended to BENCH/probe_log_r8.jsonl. The session
 launch rule (declared in BENCH/BASELINE.md): launch only when the
 probe lands <= 52 s (r4 quiet band 46-50 s + ~5% drift).
 
@@ -52,7 +52,7 @@ def main() -> None:
         "note": note or ("at band; launchable" if passed
                          else "above band; session withheld"),
     }
-    log = os.path.join(REPO, "BENCH", "probe_log_r7.jsonl")
+    log = os.path.join(REPO, "BENCH", "probe_log_r8.jsonl")
     with open(log, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))
