@@ -447,15 +447,20 @@ class SearchEngine:
     MAXSCORE_MAX_CANDIDATES = 500_000    # bound on Σ df(essential)
     MAXSCORE_MAX_DF_FRAC = 0.5           # essential decode ≤ half total
     # The non-essential decode+shuffle that pruning skips must outweigh
-    # the ~2 extra driver jobs the pruned plan costs. Measured on this
-    # engine: the numpy block decode runs ~5M postings/s/core and the
-    # per-job floor is ~0.3s, so below ~5M skipped postings the exact
-    # single-job plan wins on wall clock even when 97% of blocks are
-    # prunable (verified at 1M turns: pruned 1.02s vs exact 0.65s).
-    # Above it — the 100 TB regime, where a head term's postings are
-    # 10^9+ rows and the exact plan's decode AND its (doc_id, score)
-    # shuffle into the groupBy run for minutes — pruning dominates.
-    MAXSCORE_MIN_NE_POSTINGS = 5_000_000
+    # the pruned plan's extra jobs (stats + persist + broadcast).
+    # MEASURED (BENCH/batch_maxscore_crossover_r8.json, interleaved
+    # min-of-3 engaged-vs-exact at 1M and 4M turns, parity asserted at
+    # both): the net overhead is ~constant at the extra-job floor
+    # (2.50 s at 644k NE postings, 2.16 s at 2.56M) and shrinks with
+    # the saved decode at 0.173 s per M postings — zero crossing
+    # extrapolates to ~15M NE postings. The previous 5M constant was a
+    # judgment call that the measurement shows is too LOW (engaged
+    # still loses ~1.15x there on the fit). In the 100 TB regime a
+    # head term's postings are 10^9+ rows, two orders past this gate,
+    # and the exact plan's decode AND its (doc_id, score) shuffle into
+    # the groupBy run for minutes — pruning dominates there regardless
+    # of where in the 10^7 band the constant sits.
+    MAXSCORE_MIN_NE_POSTINGS = 15_000_000
     MAXSCORE_DRIVER_CANDIDATES = 100_000  # ≤ this → driver-assisted path
     # Global bound on the BATCH pruning broadcast (r7 ADVICE): each
     # split query's candidates are capped at MAXSCORE_MAX_CANDIDATES,
