@@ -108,7 +108,12 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     c = F.col(text_col)
     norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
-    toks = _tokens(c)
+    # tokens materialized in their own Project: `toks[i + 1]` inside
+    # the transform lambda would otherwise re-run split(lower(text))
+    # per shingle (codegen subexpression elimination does not reach
+    # into lambda bodies — same fix as ops.dedup._shingle_df, r9)
+    with_toks = df.withColumn("_fp_toks", _tokens(c))
+    toks = F.col("_fp_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
     shingles = F.when(n >= 3, F.transform(
@@ -117,6 +122,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     sh_hashes = F.transform(shingles, lambda s: F.substring(F.md5(s), 1, 16))
     top4 = F.slice(F.array_sort(sh_hashes), 1, 4)
     return (
-        df.withColumn("fp_norm", F.md5(norm))
+        with_toks.withColumn("fp_norm", F.md5(norm))
         .withColumn("fp_shingle", F.md5(F.concat_ws("|", top4)))
+        .drop("_fp_toks")
     )

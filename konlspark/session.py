@@ -28,6 +28,16 @@ def get_spark(app_name: str = "konlspark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # scan-parallelism floor (r9, guide §6): the driver tables are
+        # single small parquet files whose default split math
+        # (128 MB maxPartitionBytes, 4 MB openCost) yields 1-2 input
+        # tasks, serializing every per-row expression computed below
+        # the first exchange onto 1-2 cores. A floor of one split per
+        # core is scale-ADAPTIVE: at real scale files already split
+        # into >= parallelism tasks and both settings are no-ops;
+        # locally they let small-file scans use the whole machine.
+        .config("spark.sql.files.minPartitionNum", str(cores))
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
