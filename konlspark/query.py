@@ -281,9 +281,15 @@ class SearchEngine:
         decoded = self._decode(self._blocks_for(meta))
         if mode == "or":
             return decoded.select("doc_id").distinct().orderBy("doc_id")
+        # count(*), not countDistinct(term): decoded rows are unique
+        # per (term, doc_id) by construction (each doc appears in
+        # exactly one block per term — build_postings invariant), and
+        # countDistinct plans a second aggregate level (partial
+        # distinct shuffled per (doc_id, term)) where count needs one
+        # map-side-combined pass (r9, guide §2.3)
         return (
             decoded.groupBy("doc_id")
-            .agg(F.countDistinct("term").alias("_nt"))
+            .agg(F.count(F.lit(1)).alias("_nt"))
             .filter(F.col("_nt") == len(meta))
             .select("doc_id").orderBy("doc_id")
         )
@@ -516,12 +522,15 @@ class SearchEngine:
                     if out is not None:
                         return out
 
-        scored = (
-            self._decode(blocks, idf)
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"),
-                 F.countDistinct("term").alias("_nt"))
-        )
+        # term count only when AND needs it, and count(1) rather than
+        # countDistinct: decoded rows are unique per (term, doc_id)
+        # (one block per doc per term — build invariant), and
+        # countDistinct plans a second aggregate level over every
+        # decoded posting (r9, guide §2.3)
+        agg = [F.sum("score").alias("score")]
+        if mode == "and":
+            agg.append(F.count(F.lit(1)).alias("_nt"))
+        scored = self._decode(blocks, idf).groupBy("doc_id").agg(*agg)
         if mode == "and":
             scored = scored.filter(F.col("_nt") == len(meta))
         return (
@@ -574,10 +583,15 @@ class SearchEngine:
         decoded = self._decode(self._blocks_for(meta), idf)
         qmap = self.spark.createDataFrame(rows, "query_id string, term string")
         joined = decoded.join(F.broadcast(qmap), "term")
-        agg = [F.count_distinct("term").alias("_nt")]
+        # count(1) == distinct terms here: decoded is unique per
+        # (term, doc_id) and qmap per (query_id, term), so the join
+        # yields one row per (query_id, doc_id, term); _nt is needed
+        # only for the AND filter (r9 — same reasoning as bm25_topk)
+        agg = ([F.count(F.lit(1)).alias("_nt")] if mode == "and" else [])
         if with_scores:
             agg.append(F.sum("score").alias("score"))
-        scored = joined.groupBy("query_id", "doc_id").agg(*agg)
+        scored = (joined.groupBy("query_id", "doc_id").agg(*agg) if agg
+                  else joined.select("query_id", "doc_id").distinct())
         if mode == "and":
             nreq_df = self.spark.createDataFrame(
                 list(nreq.items()), "query_id string, _nreq int")
