@@ -71,20 +71,26 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def _hyperplane_weights(plane: int, dim: int) -> list:
+    """±1 weight for (plane, i) from the parity of the first md5 hex
+    digit of "plane:i" — deterministic, no RNG state, and the identical
+    expression is writable in ANSI SQL/DuckDB (→ the LSH banding is
+    oracle-able). Computed DRIVER-SIDE with hashlib (r9): the previous
+    in-plan form evaluated md5 inside a transform lambda, which
+    Catalyst cannot constant-fold — n_planes x dim digests per ROW
+    (1,024 at 16 planes x 64 dims). The weights depend only on
+    (plane, i), so they are plan-time literals."""
+    import hashlib
+    return [1.0 if int(hashlib.md5(f"{plane}:{i}".encode())
+                       .hexdigest()[0], 16) % 2 == 1 else -1.0
+            for i in range(dim)]
+
+
 def _hyperplane_sign(vec_col, plane: int, dim: int):
-    """Deterministic pseudo-random hyperplane: weight for (plane, i) =
-    ±1 from the parity of the first md5 hex digit of "plane:i" —
-    reproducible with no RNG state, and the identical expression is
-    writable in ANSI SQL/DuckDB (→ the LSH banding is oracle-able)."""
-    v = vec_col
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    w = F.transform(idx, lambda i:
-                    F.when(F.conv(F.substring(
-                        F.md5(F.concat_ws(":", F.lit(str(plane)),
-                                          i.cast("string"))), 1, 1),
-                        16, 10).cast("int") % 2 == 1, F.lit(1.0))
-                    .otherwise(F.lit(-1.0)))
-    proj = F.aggregate(F.zip_with(v, w, lambda x, y: x * y),
+    """Sign bit of the projection onto the deterministic hyperplane
+    (see :func:`_hyperplane_weights`)."""
+    w = F.array(*[F.lit(x) for x in _hyperplane_weights(plane, dim)])
+    proj = F.aggregate(F.zip_with(vec_col, w, lambda x, y: x * y),
                        F.lit(0.0), lambda a, b: a + b)
     return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
 
@@ -104,9 +110,13 @@ def ann_lsh_pairs(df: DataFrame, dim: int, n_planes: int = 16,
                                    for r in range(per_band)]).alias("sig"))
         for b in range(bands)
     ])).alias("bd")).select("id", "bd.band_no", "bd.sig")
+    # shuffle_hash: share one materialized signature exchange between
+    # the two plan-identical sides instead of rebuilding the
+    # 16-projection lineage for a broadcast side (same fix as the
+    # dedup LSH self-joins, r9)
     cands = (
-        stacked.alias("a").join(
-            stacked.alias("b"),
+        stacked.alias("a").hint("shuffle_hash").join(
+            stacked.alias("b").hint("shuffle_hash"),
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") < F.col("b.id")))

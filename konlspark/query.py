@@ -467,6 +467,16 @@ class SearchEngine:
     # the groupBy run for minutes — pruning dominates there regardless
     # of where in the 10^7 band the constant sits.
     MAXSCORE_MIN_NE_POSTINGS = 15_000_000
+    # The SINGLE-query pruned plan pays only the stats job + (driver
+    # fast path) one small collect — measured net overhead ~0.4-0.5 s
+    # vs the batch path's ~2.2-2.5 s — so it crosses over far earlier
+    # than the batch gate (r8 ADVICE item 3: one shared constant
+    # over-gated the single path several-fold past its own crossover).
+    # Fitted from the same decode-savings slope as the batch gate
+    # (0.173 s/M NE postings, BENCH/batch_maxscore_crossover_r8.json)
+    # with the single-path overhead measured on the 1M bench corpus
+    # (BENCH/single_maxscore_crossover_r9.json).
+    MAXSCORE_MIN_NE_POSTINGS_SINGLE = 4_000_000
     MAXSCORE_DRIVER_CANDIDATES = 100_000  # ≤ this → driver-assisted path
     # Global bound on the BATCH pruning broadcast (r7 ADVICE): each
     # split query's candidates are capped at MAXSCORE_MAX_CANDIDATES,
@@ -517,7 +527,8 @@ class SearchEngine:
                 # the extra driver jobs
                 ne_ceiling = total_df - dfs[0]
                 if (asym and dfs[0] <= self.MAXSCORE_MAX_CANDIDATES
-                        and ne_ceiling >= self.MAXSCORE_MIN_NE_POSTINGS):
+                        and ne_ceiling
+                        >= self.MAXSCORE_MIN_NE_POSTINGS_SINGLE):
                     out = self._maxscore_topk(meta, idf, k)
                     if out is not None:
                         return out
@@ -904,14 +915,19 @@ class SearchEngine:
 
     def _maxscore_split(self, terms: Sequence[str], meta: Dict[str, dict],
                         idf: Dict[str, float], stats: Dict[str, dict],
-                        k: int) -> Optional[tuple]:
+                        k: int,
+                        min_ne: Optional[int] = None) -> Optional[tuple]:
         """Driver-side (E, NE) split from per-term block stats (see
         :meth:`_maxscore_topk` steps 1-2): smallest σ-descending prefix
         E whose provable τ lower bound exceeds Σ_{NE} σ, subject to the
         candidate cap and the minimum-NE-decode gates. Shared by the
         single-query and batch paths — the batch feeds every query's
-        split the SAME stats job's rows. Returns None when no valid
-        split exists (caller falls back to exact)."""
+        split the SAME stats job's rows, and each passes its own
+        ``min_ne`` gate (the paths' overheads differ ~5x, r8 ADVICE).
+        Returns None when no valid split exists (caller falls back to
+        exact)."""
+        if min_ne is None:
+            min_ne = self.MAXSCORE_MIN_NE_POSTINGS
         if any(t not in stats for t in terms):
             return None
         mw = {t: stats[t]["mw"] for t in terms}
@@ -926,7 +942,7 @@ class SearchEngine:
             E, NE = by_sigma[:e], by_sigma[e:]
             if sum(meta[t]["df"] for t in E) > cap:
                 break  # df_E only grows with e
-            if sum(meta[t]["df"] for t in NE) < self.MAXSCORE_MIN_NE_POSTINGS:
+            if sum(meta[t]["df"] for t in NE) < min_ne:
                 break  # decode savings shrink with e — no later split pays
             taus = [idf[t] * kth[t] for t in E
                     if nb[t] >= k and kth[t] is not None]
@@ -986,7 +1002,9 @@ class SearchEngine:
         terms = list(meta)
         stats = {r["term"]: r for r in
                  self._maxscore_stats(self._blocks_for(meta), k)}
-        split = self._maxscore_split(terms, meta, idf, stats, k)
+        split = self._maxscore_split(
+            terms, meta, idf, stats, k,
+            min_ne=self.MAXSCORE_MIN_NE_POSTINGS_SINGLE)
         if split is None:
             return None
         E, NE = split

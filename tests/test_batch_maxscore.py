@@ -44,7 +44,8 @@ def batch_engine(spark, tmp_root):
     build.build_index(spark, corpus.spark_transcripts(spark, pdf), root,
                       block_size=16)
     eng = SearchEngine(spark, root)
-    eng.MAXSCORE_MIN_NE_POSTINGS = 0  # sandbox scale; see zipf_engine
+    eng.MAXSCORE_MIN_NE_POSTINGS = 0
+    eng.MAXSCORE_MIN_NE_POSTINGS_SINGLE = 0  # sandbox scale; see zipf_engine
     return eng
 
 
@@ -119,6 +120,29 @@ def test_batch_maxscore_path_taken_and_prunes(batch_engine, spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
 
 
+def test_batch_maxscore_global_cap_demotion_parity(batch_engine):
+    """r8 ADVICE item 4: the MAXSCORE_MAX_TOTAL_CAND demotion loop was
+    unpinned (the 2M default never fires at fixture scale). Shrinking
+    the cap must demote pruned terms costliest-first WITHOUT changing
+    any result, and demote-until-empty must fall back to None (the
+    exact path)."""
+    eng = batch_engine
+    want = _want(eng, BATCH, 10)
+    old = eng.MAXSCORE_MAX_TOTAL_CAND
+    try:
+        for cap in (1, 100, 10_000):
+            eng.MAXSCORE_MAX_TOTAL_CAND = cap
+            got = _got(eng, BATCH, 10)
+            for qid in BATCH:
+                assert got.get(qid, []) == want[qid], (qid, cap)
+        # cap=1 demotes every pruned term -> the engaged path declines
+        eng.MAXSCORE_MAX_TOTAL_CAND = 1
+        meta, rows, nreq = eng._batch_qmap(BATCH, "or")
+        assert eng._batch_maxscore_scored(meta, rows, 10) is None
+    finally:
+        eng.MAXSCORE_MAX_TOTAL_CAND = old
+
+
 def test_batch_maxscore_fallback_when_head_needed_fully(batch_engine):
     """A batch containing a single-term head query forces the head term
     into the full-decode set — pruning then has nothing to prune and
@@ -156,6 +180,7 @@ def test_batch_maxscore_parity_on_zipf(spark, zipf_index):
     root, _ = zipf_index
     eng = SearchEngine(spark, root)
     eng.MAXSCORE_MIN_NE_POSTINGS = 0
+    eng.MAXSCORE_MIN_NE_POSTINGS_SINGLE = 0
     rows = (eng.token_dict.select("term", "df")
             .orderBy(F.desc("df"), F.asc("term")).collect())
     terms = [(r["term"], r["df"]) for r in rows]

@@ -13,6 +13,7 @@ def zipf_engine(spark, zipf_index):
     # production gate: NE decode savings must beat the extra driver
     # jobs — irrelevant at fixture scale, so disable for these tests
     eng.MAXSCORE_MIN_NE_POSTINGS = 0
+    eng.MAXSCORE_MIN_NE_POSTINGS_SINGLE = 0
     return eng
 
 
@@ -86,7 +87,8 @@ def clustered_engine(spark, tmp_root):
     build.build_index(spark, corpus.spark_transcripts(spark, pdf), root,
                       block_size=16)  # rare df 200 -> 13 blocks >= k=10
     eng = SearchEngine(spark, root)
-    eng.MAXSCORE_MIN_NE_POSTINGS = 0  # see zipf_engine
+    eng.MAXSCORE_MIN_NE_POSTINGS = 0
+    eng.MAXSCORE_MIN_NE_POSTINGS_SINGLE = 0  # see zipf_engine
     return eng
 
 
