@@ -468,15 +468,17 @@ class SearchEngine:
     # of where in the 10^7 band the constant sits.
     MAXSCORE_MIN_NE_POSTINGS = 15_000_000
     # The SINGLE-query pruned plan pays only the stats job + (driver
-    # fast path) one small collect — measured net overhead ~0.4-0.5 s
-    # vs the batch path's ~2.2-2.5 s — so it crosses over far earlier
-    # than the batch gate (r8 ADVICE item 3: one shared constant
-    # over-gated the single path several-fold past its own crossover).
-    # Fitted from the same decode-savings slope as the batch gate
-    # (0.173 s/M NE postings, BENCH/batch_maxscore_crossover_r8.json)
-    # with the single-path overhead measured on the 1M bench corpus
-    # (BENCH/single_maxscore_crossover_r9.json).
-    MAXSCORE_MIN_NE_POSTINGS_SINGLE = 4_000_000
+    # fast path) one small collect — measured net overhead 0.89 s at
+    # 644k NE postings vs the batch path's ~2.2-2.5 s — so it crosses
+    # over far earlier than the batch gate (r8 ADVICE item 3: one
+    # shared constant over-gated the single path several-fold past its
+    # own crossover). Fitted with the same decode-savings slope as the
+    # batch gate (0.173 s/M NE postings,
+    # BENCH/batch_maxscore_crossover_r8.json): crossover ≈ 5.79M NE
+    # postings (BENCH/single_maxscore_crossover_r9.json, 1M-turn bench
+    # corpus, parity asserted, engaged plan verified). Rounded UP so
+    # the gate never admits a losing split on the fit.
+    MAXSCORE_MIN_NE_POSTINGS_SINGLE = 6_000_000
     MAXSCORE_DRIVER_CANDIDATES = 100_000  # ≤ this → driver-assisted path
     # Global bound on the BATCH pruning broadcast (r7 ADVICE): each
     # split query's candidates are capped at MAXSCORE_MAX_CANDIDATES,

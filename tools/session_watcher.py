@@ -37,8 +37,10 @@ import datetime
 import glob
 import json
 import os
+import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -66,22 +68,44 @@ def run_session() -> None:
     n = len(session_paths()) + 1
     out_path = os.path.join(REPO, "BENCH", f"session_{ROUND}_s{n}.json")
     log(f"launching gated session {ROUND}-s{n} (repeats=2)")
+    # r8 ADVICE fixes: (1) output goes to temp FILES, not PIPEs — an
+    # undrained 64KB pipe buffer would block the child (and with it
+    # proc.poll()) once stderr exceeds it, hanging the watcher;
+    # (2) start_new_session=True so the abort can kill the WHOLE
+    # process tree (taskset -> bench.py -> Spark JVM) — proc.kill()
+    # alone orphaned the in-flight leg, which kept hammering the CPUs
+    # the abort exists to free.
+    out_f = tempfile.NamedTemporaryFile("w+", delete=False,
+                                        prefix="watcher_out_")
+    err_f = tempfile.NamedTemporaryFile("w+", delete=False,
+                                        prefix="watcher_err_")
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tools", "bench_scaling.py"),
          SF_DIR, "1000000", "2", "4"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        stdout=out_f, stderr=err_f, text=True, start_new_session=True)
     # poll for the builder's busy marker: a builder starting heavy
     # foreground work mid-session contaminates legs invisibly to the
     # steal gate (same-guest load) — kill and discard, record nothing
     while proc.poll() is None:
         if os.path.exists(BUSY):
-            proc.kill()
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
             proc.wait()
             log(f"session {ROUND}-s{n} ABORTED: builder busy marker "
-                "appeared mid-session — partial run discarded")
+                "appeared mid-session — partial run discarded "
+                "(whole process group killed)")
             return
         time.sleep(5)
-    out_txt, err_txt = proc.communicate()
+    proc.wait()
+    for f in (out_f, err_f):
+        f.flush()
+        f.seek(0)
+    out_txt, err_txt = out_f.read(), err_f.read()
+    for f in (out_f, err_f):
+        f.close()
+        os.unlink(f.name)
     lines = [ln for ln in out_txt.splitlines() if ln.startswith("{")]
     if proc.returncode != 0 or not lines:
         log(f"session FAILED rc={proc.returncode}: {err_txt[-1500:]}")
