@@ -38,6 +38,17 @@ def get_spark(app_name: str = "konlspark", cores: int | None = None,
         # locally they let small-file scans use the whole machine.
         .config("spark.sql.files.minPartitionNum", str(cores))
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        # AQE coalescing floor (r9, measured): the default 1 MB
+        # minPartitionSize coalesces compute-dense-but-byte-light
+        # shuffle stages (string distinct + k seeded digests in the
+        # MinHash path) down to ~12 tasks on 32 cores, serializing
+        # them. 256k trades ~ms of task overhead for parallelism on
+        # exactly those stages (d4 10.2 -> 6.9 s at sf1.0/32c; engine
+        # queries neutral). Scale-safe: the advisory size still
+        # governs large shuffles — this floor only affects stages
+        # whose total bytes are small enough for AQE to over-coalesce.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "256k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
