@@ -205,6 +205,31 @@ class SearchEngine:
             out = out.join(self.tombstones, "doc_id", "left_anti")
         return out
 
+    def _decode_ids(self, blocks: DataFrame) -> DataFrame:
+        """blocks → bare ``doc_id`` posting rows, one per (term, doc_id).
+
+        Boolean search never reads tf/score/term, so this path ships only
+        the 8-byte id across the Python boundary and — because the opaque
+        ``mapInPandas`` input is pre-projected to ``doc_ids_delta`` alone —
+        column pruning drops ``tfs``/``doc_lens`` from the parquet scan
+        entirely (guide §4.1: pass only the columns the function needs).
+        Skips two varint decodes, the BM25 weight math, and the per-posting
+        object-string term array the full decode materializes.
+        """
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids_l = [codec.decode_doc_ids(b)
+                         for b in pdf["doc_ids_delta"]]
+                yield pd.DataFrame({
+                    "doc_id": (np.concatenate(ids_l) if ids_l
+                               else np.empty(0, dtype=np.int64)),
+                })
+
+        out = blocks.select("doc_ids_delta").mapInPandas(fn, "doc_id long")
+        if self.tombstones is not None:
+            out = out.join(self.tombstones, "doc_id", "left_anti")
+        return out
+
     def _decode_positions(self, blocks: DataFrame) -> DataFrame:
         """blocks → (term, doc_id, positions array<int>) rows — only
         meaningful on an index built with ``store_positions=True``."""
@@ -278,7 +303,7 @@ class SearchEngine:
             return empty  # some term has no postings → intersection empty
         if not meta:
             return empty
-        decoded = self._decode(self._blocks_for(meta))
+        decoded = self._decode_ids(self._blocks_for(meta))
         if mode == "or":
             return decoded.select("doc_id").distinct().orderBy("doc_id")
         # count(*), not countDistinct(term): decoded rows are unique

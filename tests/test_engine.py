@@ -308,3 +308,18 @@ def test_batch_bm25_empty_and_k0(zeng):
     assert zeng.bm25_topk_batch({}, k=10).count() == 0
     assert zeng.bm25_topk_batch({"q": ["마법"]}, k=0).count() == 0
     assert zeng.search_batch({"q": ["없는단어쿼리"]}, "and").count() == 0
+
+
+def test_lean_decode_matches_full_decode(zeng):
+    """r9: boolean search decodes ids only (`_decode_ids`). Pin its
+    (term, doc_id) multiset against the full `_decode` so the two
+    paths can never drift — the AND count relies on one row per
+    (term, doc_id) in BOTH."""
+    meta = zeng._term_meta([t for t in zeng.token_dict
+                            .select("term").limit(3).toPandas()["term"]])
+    blocks = zeng._blocks_for(meta)
+    lean = sorted(r["doc_id"] for r in zeng._decode_ids(blocks).collect())
+    full = sorted(r["doc_id"] for r in zeng._decode(blocks)
+                  .select("doc_id").collect())
+    assert len(lean) > 0
+    assert lean == full
