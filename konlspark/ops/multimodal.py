@@ -204,7 +204,10 @@ def extract_features(media: DataFrame, decoder: str = "fake",
                 "feature": feats,
             })
 
-    return media.mapInPandas(
+    # pre-project: Spark cannot see which columns the opaque fn touches,
+    # so without this every media column (e.g. duration_ms) is read from
+    # storage and shipped across the Arrow boundary (guide §4.1)
+    return media.select("media_id", "kind", "payload").mapInPandas(
         fn, "media_id long, kind string, n_bytes long, feature array<float>")
 
 

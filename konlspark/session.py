@@ -36,8 +36,10 @@ def get_spark(app_name: str = "konlspark", cores: int | None = None,
         # core is scale-ADAPTIVE: at real scale files already split
         # into >= parallelism tasks and both settings are no-ops;
         # locally they let small-file scans use the whole machine.
-        .config("spark.sql.files.minPartitionNum", str(cores))
-        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        .config("spark.sql.files.minPartitionNum",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", str(cores)))
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_GRAFT_OPEN_COST", str(64 * 1024)))
         # AQE coalescing floor (r9, measured): the default 1 MB
         # minPartitionSize coalesces compute-dense-but-byte-light
         # shuffle stages (string distinct + k seeded digests in the

@@ -32,6 +32,16 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(3 * cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # mirror session.py's r9 settings + bench_scaling's per-core
+        # driver memory so job profiles reflect the bench environment
+        # (the 1g default GC-thrashes at 4M turns)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "256k")
+        .config("spark.sql.files.minPartitionNum", str(cores))
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        .config("spark.driver.memory", os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", f"{max(4, (cores * 3) // 2)}g"))
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "true")
